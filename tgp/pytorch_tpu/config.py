@@ -1,0 +1,91 @@
+"""Global (but explicit) configuration.
+
+The reference keeps a mutable module-global config (reference:
+code/dsp/config.py:48-67) that is mutated at runtime.  Under jit that style
+does not work; here the few process-wide knobs that genuinely are global
+(precision, default quadrature resolution, seeds) are kept in one place and
+everything else is passed explicitly through frozen config dataclasses.
+
+Precision policy (reference parity vs TPU roofline):
+  * 'fp64'  — matches the reference's `set_maximum_precission`
+              (code/dsp/config.py:37-46): float64 everywhere, 100 quadrature
+              points.  Slow on the TPU MXU; used for parity checks.
+  * 'fp32'  — default performance mode on TPU; 100 quadrature points kept so
+              estimator variance matches the parity runs.
+  * 'bf16'  — bfloat16 matmul inputs with float32 accumulation for the Gram
+              kernels; statistics-critical reductions stay in float32.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+# --------------------------------------------------------------------------
+# mutable process-level state (read at *init* time only, never inside jit)
+# --------------------------------------------------------------------------
+_PRECISION = "fp32"
+
+#: number of Gauss-Hermite nodes. reference: code/dsp/config.py:45,58 uses 50
+#: (fp32) and 100 (fp64 "maximum precision").  We default to 100 everywhere.
+quad_points = 100
+
+#: monte-carlo samples for training / testing deep or Bayesian instances.
+#: reference: code/dsp/config.py:59-60
+S_train = 1
+S_test = 100
+
+#: seed used for numpy-side initialisation (kmeans, flow inits).
+#: reference: code/dsp/config.py:52
+config_seed = 0
+
+#: fixed jitter scale added to K_zz diagonals before Cholesky, by dtype.
+#: The reference escalates jitter on failure (code/dsp/utils.py:222-270);
+#: under jit we add a fixed dtype-scaled jitter up-front, which is the
+#: behaviour its `constant_jitter` knob enables (code/dsp/config.py:63).
+JITTER_F32 = 1e-6
+JITTER_F64 = 1e-8
+
+PI = math.pi
+
+
+def set_precision(mode: str) -> None:
+    """Set process-wide precision mode ('fp64' | 'fp32' | 'bf16').
+
+    Mirrors reference `cg.set_maximum_precission()` (code/dsp/config.py:37-46)
+    for mode='fp64'.  Must be called before building model parameters.
+    """
+    global _PRECISION, quad_points
+    if mode not in ("fp64", "fp32", "bf16"):
+        raise ValueError(f"unknown precision mode {mode!r}")
+    _PRECISION = mode
+    jax.config.update("jax_enable_x64", mode == "fp64")
+    quad_points = 100
+
+
+def precision() -> str:
+    return _PRECISION
+
+
+def default_dtype():
+    """dtype used for parameters and statistics."""
+    return jnp.float64 if _PRECISION == "fp64" else jnp.float32
+
+
+def matmul_dtype():
+    """dtype fed to the MXU for Gram/solve matmuls."""
+    if _PRECISION == "bf16":
+        return jnp.bfloat16
+    return default_dtype()
+
+
+def jitter_value(dtype) -> float:
+    """Fixed Cholesky jitter for a dtype.
+
+    reference: code/dsp/utils.py:256-257 (1e-6 fp32 / 1e-8 fp64 ladder base).
+    """
+    if jnp.dtype(dtype) == jnp.float64:
+        return JITTER_F64
+    return JITTER_F32

@@ -1,0 +1,61 @@
+"""Dataset registry: name -> data loaders + data_config.
+
+reference: code/dsp/data/datasets.py:81-221 (`return_dataset`).  Returns
+[train(, valid), test] DataLoaders and a data_config dict with the fields
+the experiment layer consumes (X_tr, N_tr, Dx, Dy, Y_std, ...).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .batching import ArrayDataset, DataLoader
+from .uci import UCI_TABLE, load_uci_split
+
+UCI_REGRESSION = [n for n, s in UCI_TABLE.items() if s.task == "regression"]
+UCI_CLASSIFICATION = [n for n, s in UCI_TABLE.items() if s.task == "classification"]
+
+
+def return_dataset(name: str, batch_size: int, use_validation=None,
+                   seed: int = 1, options: dict | None = None):
+    """Build data loaders for a named dataset.
+
+    options keys honoured (reference: datasets.py:123-132):
+      'shuffle_train' (default True), 'seed' for the loader generator,
+      'normalize_y'.
+    """
+    options = dict(options or {})
+    shuffle_train = bool(options.get("shuffle_train", True))
+    gen_seed = options.get("generator_seed", 0)
+
+    if name in UCI_TABLE:
+        split = load_uci_split(name, seed, use_validation,
+                               normalize_y=options.get("normalize_y", True))
+    else:
+        raise NotImplementedError(
+            f"dataset {name!r} not available (large/spatial corpora require "
+            f"their download pipelines; see data/large.py)")
+
+    loaders = []
+    train_ds = ArrayDataset(split["X_tr"], split["Y_tr"])
+    loaders.append(DataLoader(train_ds, batch_size, shuffle=shuffle_train, seed=gen_seed))
+    if split["X_va"] is not None:
+        loaders.append(DataLoader(ArrayDataset(split["X_va"], split["Y_va"]),
+                                  batch_size, shuffle=False))
+    loaders.append(DataLoader(ArrayDataset(split["X_te"], split["Y_te"]),
+                              batch_size, shuffle=False))
+
+    is_classification = UCI_TABLE[name].task == "classification" if name in UCI_TABLE else False
+    Dy = int(np.max(split["Y_tr"]) + 1) if is_classification else split["Y_tr"].shape[1]
+
+    data_config = {
+        "X_tr": split["X_tr"],
+        "Y_tr": split["Y_tr"],
+        "N_tr": split["X_tr"].shape[0],
+        "Dx": split["X_tr"].shape[1],
+        "Dy": Dy,
+        "Y_std": split["Y_std"],
+        "Y_mean": split["Y_mean"],
+        "task": "classification" if is_classification else "regression",
+    }
+    return loaders, data_config

@@ -1,0 +1,57 @@
+"""Positive-parameter transforms.
+
+reference: code/dsp/utils.py:39-55 (`positive_transform` /
+`inverse_positive_transform`, configurable 'exp' vs 'softplus' — the
+experiments use 'exp', code/dsp/config.py:61) and gpytorch's
+`inv_softplus` used by kernel/flow initialisers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def safe_tanh(x):
+    """tanh with the argument clipped to +-30.
+
+    Mathematically exact (tanh saturates to 1 ulp of +-1 well before 30) but
+    avoids a TPU XLA lowering that returns NaN for very large finite
+    arguments (observed on v5e: tanh(1e3) -> nan in the expansion used by
+    the backend).  Flows feed unbounded GP samples into tanh, so this
+    matters in practice.
+    """
+    return jnp.tanh(jnp.clip(x, -30.0, 30.0))
+
+
+def inv_softplus(x):
+    """Numerically-stable inverse of softplus: log(exp(x) - 1)."""
+    x = jnp.asarray(x)
+    # For large x, log(exp(x)-1) ~= x + log1p(-exp(-x))
+    return x + jnp.log(-jnp.expm1(-x))
+
+
+def np_inv_softplus(x):
+    x = np.asarray(x, dtype=np.float64)
+    return x + np.log(-np.expm1(-x))
+
+
+def positive(x, kind: str = "exp"):
+    """Map unconstrained parameter to a strictly positive value."""
+    if kind == "exp":
+        return jnp.exp(x)
+    if kind == "softplus":
+        return softplus(x)
+    raise NotImplementedError(kind)
+
+
+def inverse_positive(x, kind: str = "exp"):
+    if kind == "exp":
+        return jnp.log(x)
+    if kind == "softplus":
+        return inv_softplus(x)
+    raise NotImplementedError(kind)
