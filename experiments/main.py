@@ -1,0 +1,185 @@
+"""TGP experiment entrypoint — same CLI surface as the reference.
+
+    python experiments/main.py --model {SVGP,TGP,ID_TGP} --dataset {boston,power}
+        --train_test_seed_split S --num_inducing M
+        [--epochs E] [--precision fp64|fp32|bf16] [--platform tpu|cpu]
+
+Defaults replicate the reference experiment constants
+(reference: code/main.py:69-126, 268-271): batch 10000, 15000 epochs, Adam
+lr 0.01, obs noise 0.05, kernel ls=ks=2.0, q(U) variance 1e-5, whiten=True,
+fp64 "maximum precision" with 100 quadrature points, S_test=100.
+
+The training step is one jitted XLA program; use --precision fp32 for the
+TPU roofline path (parity configs run fp64).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TGP on TPU (JAX)")
+    p.add_argument("--model", required=True, choices=["SVGP", "TGP", "ID_TGP"])
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--train_test_seed_split", required=True, type=int)
+    p.add_argument("--num_inducing", required=True, type=int)
+    # extensions over the reference CLI
+    p.add_argument("--epochs", type=int, default=15000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--batch_size", type=int, default=10000)
+    p.add_argument("--precision", default="fp64", choices=["fp64", "fp32", "bf16"])
+    p.add_argument("--platform", default=None, choices=[None, "tpu", "cpu"])
+    p.add_argument("--S_test", type=int, default=100)
+    p.add_argument("--verbose_each", type=int, default=100)
+    p.add_argument("--checkpoint_dir", default=None)
+    return p.parse_args()
+
+
+def run(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from tgp.pytorch_tpu import config as cfg
+    cfg.set_precision(args.precision)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tgp.pytorch_tpu.data import return_dataset, kmeans_centers
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.train import Trainer
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
+    from tgp.pytorch_tpu.flows.initializers import (
+        fit_flow_to_identity, fit_hypernet_to_anchors)
+    from exp_config import return_hyperparams
+
+    # ---- data (reference: main.py:128-135) -------------------------------
+    loaders, dc = return_dataset(args.dataset, args.batch_size, None,
+                                 seed=args.train_test_seed_split,
+                                 options={"shuffle_train": True})
+    Dy, Dx = dc["Dy"], dc["Dx"]
+
+    # ---- inducing init (main.py:145) -------------------------------------
+    Z0 = kmeans_centers(dc["X_tr"], args.num_inducing, n_init=10,
+                        seed=cfg.config_seed)
+
+    # ---- flow architecture (main.py:150-208) -----------------------------
+    hp = return_hyperparams(args.model, args.dataset)
+    flow_input_dependent = args.model == "ID_TGP"
+    flow_kwargs = dict(
+        input_dependent=flow_input_dependent, input_dim=Dx,
+        num_hidden_layers=hp["flow_num_hidden_layers"],
+        batch_norm=hp["flow_BN"], dropout=hp["flow_DR"],
+        hidden_dim=hp["flow_hidden_dim"],
+        hidden_activation=hp["flow_hidden_act"],
+        inference=hp["flow_inference"],
+    )
+    flow_kwargs = {k: v for k, v in flow_kwargs.items() if v is not None}
+
+    flow_spec, flow_params0 = IDENTITY_SPEC, None
+    if args.model != "SVGP":
+        if hp["flow_arch"] == "SAL":
+            np.random.seed(cfg.config_seed)
+            fl = G.SAL(hp["num_blocks"], **flow_kwargs)
+            flow_spec, flow_inits = spec_from_list(fl)
+        elif hp["flow_arch"] == "StepTanhL":
+            # identity-fit initializer (reference: main.py:168-190)
+            print("==== running identity-fit flow initializer ====")
+            y = dc["Y_tr"]
+            flow_spec, fitted_params, mse = fit_flow_to_identity(
+                lambda: G.StepTanhL(hp["num_blocks"], hp["num_steps"],
+                                    add_f0=True, **flow_kwargs),
+                float(y.min()) - 1.0, float(y.max()) + 1.0,
+                num_restarts=1, num_epochs=2000)
+            print(f"initializer MSE {mse:.3e}")
+            flow_inits = None
+            flow_params0 = fitted_params
+        else:
+            raise NotImplementedError(hp["flow_arch"])
+
+    # ---- likelihood / kernel / model (main.py:210-263) -------------------
+    if args.model == "SVGP":
+        lik = LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
+    else:
+        lik = LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
+                             quad_points=cfg.quad_points)
+    spec = M.TGPSpec(
+        Dy=Dy, Dx=Dx, M=args.num_inducing, N=float(dc["N_tr"]),
+        kernel=K.from_name("scale_rbf"), likelihood=lik, flow=flow_spec,
+        mean="zero", whiten=True,
+    )
+    params = M.init_tgp_params(
+        spec, dc["X_tr"], Z0, variance_scale=1e-5, mean_scale=0.0,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
+                     "noisy_variance": 1e-6},
+        noise_init=0.05,
+        flow_inits=(None if args.model == "SVGP" or flow_params0 is not None
+                    else flow_inits),
+    )
+    if flow_params0 is not None:
+        import jax.tree_util as jtu
+        params["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), flow_params0)
+
+    # ---- ID flow hypernet initializer (main.py:193-208) ------------------
+    if flow_input_dependent:
+        print("==== fitting hypernets to identity anchors (2000 epochs) ====")
+        batches = [b for b, _ in loaders[0]]
+        fp = params["flow"]
+        import jax.tree_util as jtu
+        fp0 = jtu.tree_map(lambda x: x[0], fp)  # all outputs identical at init
+        fp0, loss = fit_hypernet_to_anchors(flow_spec, fp0, batches,
+                                            num_epochs=2000, noise_var=0.0)
+        params["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), fp0)
+        print(f"hypernet init loss {loss:.3e}")
+
+    # ---- optimizer groups (main.py:274-288) ------------------------------
+    specs = None
+    if flow_input_dependent:
+        wd_nnets = 1e-5
+        specs = [[args.lr, wd_nnets, "net_"], [args.lr, 0.0, "flow"]]
+    schedule = ([1.0], [specs])
+
+    # ---- train (main.py:290-298) -----------------------------------------
+    trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test)
+    t0 = time.time()
+    trainer.train(args.epochs, args.lr, "adam",
+                  optimisation_schedule=schedule,
+                  verbose_each=args.verbose_each)
+    train_time = time.time() - t0
+
+    if args.checkpoint_dir:
+        from tgp.pytorch_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint_dir, trainer.params, step=args.epochs)
+
+    # ---- evaluate (main.py:300-325) --------------------------------------
+    m = trainer.compute_metrics()
+    test = m["test"]
+    print("\n=====================================")
+    print("== Results obtained after training ==")
+    print("=====================================")
+    tag = "POINT ESTIMATE FLOW" if args.model == "ID_TGP" else args.model
+    print(f"Dataset {args.dataset}, M {args.num_inducing}, {tag}, "
+          f"Test NLL {-test['logL'][0]:.3f}, Test RMSE {test['rmse'][0]:.3f} "
+          f"({train_time:.1f}s train)")
+
+    if args.model == "ID_TGP":
+        trainer.fully_bayesian = True
+        m_ba = trainer.compute_metrics()
+        test = m_ba["test"]
+        print(f"Dataset {args.dataset}, M {args.num_inducing}, BAYESIAN FLOW, "
+              f"Test NLL {-test['logL'][0]:.3f}, Test RMSE {test['rmse'][0]:.3f}")
+    return m
+
+
+if __name__ == "__main__":
+    run(parse_args())
