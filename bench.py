@@ -1,0 +1,179 @@
+"""Benchmark: TGP ELBO training steps/sec on the driver's target config.
+
+Config (BASELINE.md): TGP (2-block SAL marginal flow) on UCI power split 1,
+M=100 inducing, full-batch SVI (batch 10000 >= N_tr), scale-RBF ARD kernel,
+whitened q(U), 100 GH quadrature points.
+
+  * `value`      — our jitted train-step throughput (steps/sec) on the
+                   default JAX platform (TPU when available), fp32.
+  * `vs_baseline`— ratio against a torch-eager fp64 implementation of the
+                   same ELBO step executed on this host's CPU (the reference
+                   publishes no throughput numbers — SURVEY.md §6 — and no
+                   GPU is present here, so the denominator is measured
+                   locally and labeled as such).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _load_power():
+    try:
+        from tgp.pytorch_tpu.data import return_dataset
+        loaders, dc = return_dataset("power", 10000, None, seed=1)
+        return dc["X_tr"], dc["Y_tr"]
+    except Exception:
+        rng = np.random.RandomState(0)
+        return rng.randn(8611, 4), rng.randn(8611, 1)
+
+
+def bench_jax(X, Y, M=100, steps=60, warmup=5):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tgp.pytorch_tpu import config as cfg
+
+    cfg.set_precision("fp32")
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as Mjax
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+
+    N, Dx = X.shape
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(2))
+    spec = Mjax.TGPSpec(
+        Dy=1, Dx=Dx, M=M, N=float(N), kernel=K.from_name("scale_rbf"),
+        likelihood=LikelihoodSpec("gaussian_flow", 1, quad_points=100),
+        flow=fspec, min_var=1e-8,
+    )
+    params = Mjax.init_tgp_params(
+        spec, X, X[:M].copy(), variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+        noise_init=0.05, flow_inits=finits)
+
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    Xd = jnp.asarray(X, jnp.float32)
+    Yd = jnp.asarray(Y, jnp.float32)
+
+    @jax.jit
+    def step(p, s, x, y):
+        def loss(pp):
+            return -Mjax.elbo(spec, pp, x, y)[0]
+        g = jax.grad(loss)(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for _ in range(warmup):
+        params, opt_state = step(params, opt_state, Xd, Yd)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state = step(params, opt_state, Xd, Yd)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def bench_torch(X, Y, M=100, steps=8, warmup=2):
+    """Torch-eager fp64 equivalent of the same TGP ELBO step (independent
+    implementation — used only as the local throughput denominator)."""
+    import torch
+
+    torch.set_default_dtype(torch.float64)
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    N, Dx = X.shape
+    Xt = torch.tensor(X)
+    Yt = torch.tensor(Y)
+
+    Z = torch.tensor(X[:M].copy(), requires_grad=True)
+    q_mu = torch.zeros(M, 1, requires_grad=True)
+    q_L = (math.sqrt(1e-5) * torch.eye(M)).clone().requires_grad_(True)
+    raw_ls = torch.full((Dx,), math.log(math.expm1(2.0)), requires_grad=True)
+    raw_ks = torch.tensor(math.log(math.expm1(2.0)), requires_grad=True)
+    log_noise = torch.tensor(math.log(0.05), requires_grad=True)
+    sal_a = torch.zeros(2, requires_grad=True)
+    sal_b = torch.ones(2, requires_grad=True)
+    aff_a = torch.ones(2, requires_grad=True)
+    aff_b = torch.zeros(2, requires_grad=True)
+    params = [Z, q_mu, q_L, raw_ls, raw_ks, log_noise, sal_a, sal_b, aff_a, aff_b]
+    opt = torch.optim.Adam(params, lr=0.01)
+
+    xq, wq = np.polynomial.hermite.hermgauss(100)
+    xq_t = torch.tensor(xq).view(-1, 1)
+    logw_t = torch.tensor(np.log(wq)).view(-1, 1)
+
+    def sp(v):
+        return torch.nn.functional.softplus(v)
+
+    def gram(A, B):
+        a = A / sp(raw_ls)
+        b = B / sp(raw_ls)
+        d2 = (a * a).sum(1, keepdim=True) + (b * b).sum(1) - 2.0 * a @ b.T
+        return sp(raw_ks) * torch.exp(-0.5 * d2.clamp_min(0))
+
+    def one_step():
+        opt.zero_grad()
+        Kzz = gram(Z, Z) + 1e-8 * torch.eye(M)
+        Kxz = gram(Xt, Z)
+        L = torch.linalg.cholesky(Kzz)
+        sol = torch.linalg.solve_triangular(L.T, q_mu, upper=True)
+        mu = (Kxz @ sol).squeeze(1)
+        rhs = torch.linalg.solve_triangular(L, Kxz.T, upper=False)
+        Lq = torch.tril(q_L)
+        A = Lq.T @ rhs
+        kxx = sp(raw_ks).expand(N)
+        var = (kxx - (rhs * rhs).sum(0) + (A * A).sum(0)).clamp_min(1e-12)
+        # whitened KL
+        kl = 0.5 * (-torch.log(torch.diagonal(Lq) ** 2).sum()
+                    + (q_mu ** 2).sum() + (Lq ** 2).sum() - M)
+        # GH quadrature ELL through SAL x2
+        f = torch.sqrt(2.0 * var).unsqueeze(0) * xq_t + mu.unsqueeze(0)
+        for k in range(2):
+            f = torch.sinh(sal_b[k] * torch.asinh(f) - sal_a[k])
+            f = aff_a[k] * f + aff_b[k]
+        c2 = torch.exp(log_noise)
+        logp = -0.5 * (math.log(2 * math.pi) + log_noise
+                       + (Yt.T - f) ** 2 / c2)
+        ell = (torch.exp(logw_t) * logp).sum(0) / math.sqrt(math.pi)
+        elbo = ell.sum() - kl
+        (-elbo).backward()
+        opt.step()
+
+    for _ in range(warmup):
+        one_step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    return steps / (time.perf_counter() - t0)
+
+
+def main():
+    X, Y = _load_power()
+    ours = bench_jax(X, Y)
+    try:
+        base = bench_torch(X, Y)
+    except Exception:
+        base = float("nan")
+    out = {
+        "metric": "TGP(SAL x2) UCI-power M=100 full-batch ELBO steps/sec "
+                  "(jit fp32, default platform; baseline = torch-eager fp64 CPU)",
+        "value": round(ours, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(ours / base, 3) if base == base else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
