@@ -62,6 +62,12 @@ def set_precision(mode: str) -> None:
         raise ValueError(f"unknown precision mode {mode!r}")
     _PRECISION = mode
     jax.config.update("jax_enable_x64", mode == "fp64")
+    # On TPU, XLA's DEFAULT matmul precision runs fp32 contractions as bf16
+    # passes — that wrecks the near-singular K_zz Cholesky and NaNs training.
+    # fp32/fp64 modes force true fp32 accumulation ('highest'); the bf16 mode
+    # opts back into fast passes explicitly (statistics stay fp32).
+    jax.config.update("jax_default_matmul_precision",
+                      "bfloat16" if mode == "bf16" else "highest")
     quad_points = 100
 
 

@@ -68,6 +68,14 @@ def _check_md5(path: str, md5: str | None):
 
 
 def _load_csv(path: str, sep: str, header: bool) -> np.ndarray:
+    # fast path: native mmap'd multithreaded parser (native/tgpdata.cc);
+    # bit-identical to pandas on these files (validated in tests)
+    if not header:
+        from . import native
+        ws = sep.strip() == "" or sep == r"\s+"
+        out = native.read_csv(path, sep=" " if ws else sep, ws_mode=ws)
+        if out is not None:
+            return out
     import pandas as pd
 
     df = pd.read_csv(path, sep=sep, header=0 if header else None,

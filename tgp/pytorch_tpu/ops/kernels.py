@@ -34,6 +34,22 @@ import numpy as np
 from .. import config as cfg
 from .transforms import softplus, np_inv_softplus
 
+#: route RBF Grams through the fused Pallas kernel when on TPU and the tile
+#: is big enough to amortize the launch (see ops/pallas/rbf_gram.py).
+USE_PALLAS = True
+_PALLAS_MIN_ELEMS = 1 << 18
+
+
+def _pallas_ok(X1, X2):
+    if not USE_PALLAS:
+        return False
+    if X1.dtype not in (jnp.float32,):
+        return False
+    if X1.shape[0] * X1.shape[1] * X2.shape[1] < _PALLAS_MIN_ELEMS:
+        return False
+    from .pallas.rbf_gram import pallas_available
+    return pallas_available()
+
 
 @dataclasses.dataclass(frozen=True)
 class KernelSpec:
@@ -187,6 +203,11 @@ def gram(spec: KernelSpec, params, X1, X2, same: bool = False):
     code/dsp/models/sparse_MF_SP.py:313-319 calls kernel(X, are_equal=True)
     for K_xx and are_equal=False for K_zz / K_xz.
     """
+    if spec.kind == "rbf" and _pallas_ok(X1, X2):
+        from .pallas.rbf_gram import rbf_gram_pallas
+        X1s = _scaled(X1, params["raw_lengthscale"])
+        X2s = _scaled(X2, params["raw_lengthscale"])
+        return rbf_gram_pallas(X1s, X2s, jnp.ones((X1.shape[0],), X1.dtype))
     if spec.kind in ("rbf", "matern12", "matern32", "matern52"):
         d2 = _sq_dist(_scaled(X1, params["raw_lengthscale"]),
                       _scaled(X2, params["raw_lengthscale"]))
@@ -211,7 +232,15 @@ def gram(spec: KernelSpec, params, X1, X2, same: bool = False):
         return var[..., None] * jnp.eye(N, dtype=X1.dtype)[None]
     if spec.kind == "scale":
         ks = softplus(params["raw_outputscale"])
-        return ks[:, None, None] * gram(spec.children[0], params["child"], X1, X2, same)
+        child = spec.children[0]
+        if child.kind == "rbf" and _pallas_ok(X1, X2):
+            # fused scale*exp epilogue in one pallas pass
+            from .pallas.rbf_gram import rbf_gram_pallas
+            cp = params["child"]
+            X1s = _scaled(X1, cp["raw_lengthscale"])
+            X2s = _scaled(X2, cp["raw_lengthscale"])
+            return rbf_gram_pallas(X1s, X2s, ks)
+        return ks[:, None, None] * gram(child, params["child"], X1, X2, same)
     if spec.kind == "product":
         out = None
         for c, p in zip(spec.children, params["children"]):

@@ -106,6 +106,36 @@ class Trainer:
 
         return train_step
 
+    def _make_scan_steps(self, optimizer):
+        """Full-batch fast path: K optimisation steps as ONE device program.
+
+        When the dataset fits in a single batch (the reference's headline
+        configs: batch 10000 >= N for boston/power, code/main.py:74), the
+        epoch loop is a `lax.scan` over steps — thousands of epochs execute
+        per device call, amortising host->device dispatch latency entirely.
+        """
+        spec = self.spec
+
+        @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
+        def run_steps(params, opt_state, X, Y, rng, n_steps):
+            def body(carry, r):
+                p, s = carry
+                def loss_fn(pp):
+                    e, ell, kld = tgp_mod.elbo(spec, pp, X, Y, r)
+                    return -e, (ell, kld)
+                (neg_e, (ell, kld)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p)
+                updates, s = optimizer.update(grads, s, p)
+                p = optax.apply_updates(p, updates)
+                return (p, s), (-neg_e, ell, kld)
+
+            rngs = jax.random.split(rng, n_steps)
+            (params, opt_state), curves = jax.lax.scan(
+                body, (params, opt_state), rngs)
+            return params, opt_state, curves
+
+        return run_steps
+
     # ------------------------------------------------------------------
     def train(self, epochs: int, lr_ALL: float, opt: str = "adam",
               optimisation_schedule=None, verbose_each: int = 100):
@@ -124,13 +154,39 @@ class Trainer:
 
         frozen = frozen_param_labels(self.spec, self.params)
         ep_done = 0
+        full_batch = (len(self.train_loader) == 1 and self.track_fn is None
+                      and self.validate_each > epochs)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
             optimizer, _ = build_grouped_optimizer(
                 self.params, specs, lr_ALL, opt, frozen_labels=frozen)
             opt_state = optimizer.init(self.params)
-            step_fn = self._make_train_step(optimizer)
 
+            if full_batch:
+                # scan-compiled epochs: one device call per chunk
+                run_steps = self._make_scan_steps(optimizer)
+                X, Y = next(iter(self.train_loader))
+                Xd = jnp.asarray(X, cfg.default_dtype())
+                Yd = jnp.asarray(Y, cfg.default_dtype())
+                chunk = int(min(phase_epochs, 2000))
+                done = 0
+                t0 = time.time()
+                while done < phase_epochs:
+                    n = min(chunk, phase_epochs - done)
+                    self.params, opt_state, curves = run_steps(
+                        self.params, opt_state, Xd, Yd, self._next_rng(), n)
+                    done += n
+                    ep_done += n
+                    self.loss_curve.extend(np.asarray(curves[0]))
+                    self.ell_curve.extend(np.asarray(curves[1]))
+                    self.kld_curve.extend(np.asarray(curves[2]))
+                    if verbose_each:
+                        print(f"| epoch {ep_done}/{epochs}  "
+                              f"ELBO {float(self.loss_curve[-1]):.4f} "
+                              f"({(time.time() - t0) / done * 1e3:.2f}ms/ep)")
+                continue
+
+            step_fn = self._make_train_step(optimizer)
             t0 = time.time()
             for ep in range(phase_epochs):
                 for X, Y in self.train_loader:
