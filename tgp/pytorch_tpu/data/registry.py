@@ -11,9 +11,10 @@ import numpy as np
 
 from .batching import ArrayDataset, DataLoader
 from .uci import UCI_TABLE, load_uci_split
+from .uci_classification import CLASSIFICATION_LOADERS, NUM_CLASSES
 
 UCI_REGRESSION = [n for n, s in UCI_TABLE.items() if s.task == "regression"]
-UCI_CLASSIFICATION = [n for n, s in UCI_TABLE.items() if s.task == "classification"]
+UCI_CLASSIFICATION = list(CLASSIFICATION_LOADERS)
 
 
 def return_dataset(name: str, batch_size: int, use_validation=None,
@@ -31,10 +32,17 @@ def return_dataset(name: str, batch_size: int, use_validation=None,
     if name in UCI_TABLE:
         split = load_uci_split(name, seed, use_validation,
                                normalize_y=options.get("normalize_y", True))
+        is_classification = False
+    elif name in CLASSIFICATION_LOADERS:
+        split = CLASSIFICATION_LOADERS[name](seed, use_validation)
+        is_classification = True
+    elif name in ("airline", "year", "rainfall"):
+        from .large import LARGE_LOADERS
+        split = LARGE_LOADERS[name](seed, use_validation)
+        is_classification = False
     else:
         raise NotImplementedError(
-            f"dataset {name!r} not available (large/spatial corpora require "
-            f"their download pipelines; see data/large.py)")
+            f"dataset {name!r} not available (add a loader to data/registry.py)")
 
     loaders = []
     train_ds = ArrayDataset(split["X_tr"], split["Y_tr"])
@@ -45,8 +53,7 @@ def return_dataset(name: str, batch_size: int, use_validation=None,
     loaders.append(DataLoader(ArrayDataset(split["X_te"], split["Y_te"]),
                               batch_size, shuffle=False))
 
-    is_classification = UCI_TABLE[name].task == "classification" if name in UCI_TABLE else False
-    Dy = int(np.max(split["Y_tr"]) + 1) if is_classification else split["Y_tr"].shape[1]
+    Dy = NUM_CLASSES[name] if is_classification else split["Y_tr"].shape[1]
 
     data_config = {
         "X_tr": split["X_tr"],

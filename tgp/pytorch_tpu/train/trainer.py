@@ -233,6 +233,7 @@ class Trainer:
         coverage = np.zeros(Dy)
         correct = 0.0
         tot = 0
+        all_probs, all_labels = [], []
         Y_std_d = jnp.asarray(self.Y_std, cfg.default_dtype())
         S_MC = self.S_test if self.fully_bayesian else 1
         for X, Y in loader:
@@ -248,6 +249,8 @@ class Trainer:
                 ElogL[0] += log_p.sum()
                 pred = np.argmax(m1, axis=-1)
                 correct += (pred == np.asarray(Y).reshape(-1)).sum()
+                all_probs.append(m1)
+                all_labels.append(np.asarray(Y).reshape(-1))
             else:
                 samples = np.asarray(samples)  # (Dy, S, MB)
                 q = np.quantile(samples, [0.025, 0.975], axis=1)  # (2, Dy, MB)
@@ -259,6 +262,11 @@ class Trainer:
         out = {"logL": ElogL / tot}
         if is_class:
             out["acc"] = correct / tot
+            # native calibration metrics replacing the reference's external
+            # pytorchlib.compute_calibration_measures (sparse_MF_SP.py:813-815)
+            from .metrics import calibration_measures
+            out["calibration"] = calibration_measures(
+                np.concatenate(all_probs), np.concatenate(all_labels))
         else:
             out["rmse"] = self.Y_std * np.sqrt(rmse / tot)
             out["coverage"] = coverage / tot
