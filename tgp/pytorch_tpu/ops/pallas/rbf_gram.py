@@ -29,9 +29,15 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+#: set True in tests to run the kernel through the Pallas interpreter on CPU
+INTERPRET = False
+
+
 def pallas_available() -> bool:
     if not _HAS_PALLAS:
         return False
+    if INTERPRET:
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -94,6 +100,7 @@ def _forward(X1s, X2s, ks):
             bytes_accessed=4 * Dy * (N * Dx + M * Dx + N * M),
             transcendentals=Dy * N * M,
         ),
+        interpret=INTERPRET,
     )(X1s, X2s, ks)
     return out
 
