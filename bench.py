@@ -66,23 +66,29 @@ def bench_jax(X, Y, M=100, steps=60, warmup=5):
     Xd = jnp.asarray(X, jnp.float32)
     Yd = jnp.asarray(Y, jnp.float32)
 
+    # scan-compiled chunk: the production trainer's full-batch fast path —
+    # K optimisation steps execute as ONE device program, so the measurement
+    # is insensitive to host/tunnel dispatch latency.
     @jax.jit
-    def step(p, s, x, y):
-        def loss(pp):
-            return -Mjax.elbo(spec, pp, x, y)[0]
-        g = jax.grad(loss)(p)
-        u, s = opt.update(g, s, p)
-        return optax.apply_updates(p, u), s
+    def chunk(p, s, n_unused):
+        def body(carry, _):
+            p, s = carry
+            g = jax.grad(lambda pp: -Mjax.elbo(spec, pp, Xd, Yd)[0])(p)
+            u, s2 = opt.update(g, s, p)
+            return (optax.apply_updates(p, u), s2), None
+        (p, s), _ = jax.lax.scan(body, (p, s), None, length=CHUNK)
+        return p, s
 
-    for _ in range(warmup):
-        params, opt_state = step(params, opt_state, Xd, Yd)
+    CHUNK = 200
+    params, opt_state = chunk(params, opt_state, None)
     jax.block_until_ready(params)
+    n_chunks = max(1, steps // CHUNK) + 2
     t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state = step(params, opt_state, Xd, Yd)
+    for _ in range(n_chunks):
+        params, opt_state = chunk(params, opt_state, None)
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
-    return steps / dt
+    return n_chunks * CHUNK / dt
 
 
 def bench_torch(X, Y, M=100, steps=8, warmup=2):

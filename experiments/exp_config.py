@@ -40,6 +40,64 @@ def return_hyperparams(model: str, dataset: str) -> dict:
     return dict(HYPERPARAMS[key])
 
 
+# ---------------------------------------------------------------------------
+# Full paper sweep tables (reference: bash_scripts/launch_test_uci_*.sh)
+# ---------------------------------------------------------------------------
+
+#: TGP (non-input-dependent) flow arch per regression dataset
+#: reference: bash_scripts/launch_test_uci_medium-small_regression.sh
+TGP_REGRESSION_SWEEP = {
+    "boston":     ("StepTanhL", 10, 2),
+    "concrete":   ("StepInverseBoxCoxL", 5, 2),
+    "energy":     ("StepTanhL", 15, 4),
+    "kin8nm":     ("InverseBoxCoxL", 1, None),
+    "naval":      ("SAL_InvBCL", 1, None),
+    "power":      ("SAL", 2, None),
+    "protein":    ("StepTanhL", 10, 2),
+    "wine_red":   ("SAL", 3, None),
+    "wine_white": ("SAL_BCL", 10, None),
+    # large (launch_test_uci_large_regression.sh)
+    "year":       ("SAL", 5, None),
+    "airline":    ("StepTanhL", 5, 6),
+}
+
+#: ID_TGP hypernet configs: (blocks, act, n_hidden, dropout, bn, width)
+ID_TGP_REGRESSION_SWEEP = {
+    "boston":     (1, "tanh", 1, 0.5, 0, 25),
+    "concrete":   (1, "relu", 1, 0.25, 0, 50),
+    "energy":     (3, "relu", 2, 0.5, 0, 50),
+    "kin8nm":     (3, "relu", 2, 0.25, 0, 50),
+    "naval":      (1, "relu", 1, 0.5, 0, 25),
+    "power":      (3, "relu", 2, 0.25, 0, 50),
+    "protein":    (1, "relu", 1, 0.25, 0, 25),
+    "wine_red":   (3, "tanh", 1, 0.25, 0, 25),
+    "wine_white": (3, "tanh", 2, 0.25, 0, 50),
+    "year":       (1, "tanh", 2, 0.25, 0, 50),
+    "airline":    (1, "tanh", 2, 0.25, 0, 50),
+}
+
+#: classification (launch_test_uci_medium-small_classification.sh);
+#: hold_K_params=2000 epochs following Hensman 2015b (launcher :9)
+TGP_CLASSIFICATION_SWEEP = {
+    "movement": ("ArcSL", 2, None),
+    "heart":    ("SAL_InvBCL", 1, None),
+    "banknote": ("BCL_AL", 5, None),
+    "avila":    ("SAL_AL", 1, None),
+    "activity": ("BCL_AL", 1, None),
+}
+
+ID_TGP_CLASSIFICATION_SWEEP = {
+    "movement": (1, "relu", 2, 0.25, 0, 25),
+    "heart":    (1, "tanh", 1, 0.5, 0, 25),
+    "banknote": (1, "tanh", 2, 0.25, 0, 50),
+    "avila":    (1, "tanh", 1, 0.75, 0, 25),
+    "activity": (1, "tanh", 1, 0.75, 0, 25),
+}
+
+HOLD_K_PARAMS_EPOCHS = 2000
+SWEEP_SEEDS = list(range(1, 11))
+SWEEP_NUM_INDUCING = [5, 10, 20, 50, 100]
+
 #: number of validation points per dataset (reference: code/main.py:69)
 NUM_VALID_POINTS = {
     "boston": 100, "energy": 150, "concrete": 200, "kin8nm": 1000,

@@ -30,13 +30,17 @@ class LikelihoodSpec:
     """Static likelihood description.
 
     kind: 'gaussian' | 'gaussian_flow' | 'bernoulli' | 'categorical' | 'warped'
+    warp_flow: for kind='warped', the observation-warp T's flow spec (the
+    warp lives in the likelihood, applied to Y — reference:
+    code/dsp/likelihoods/WarpedGaussianLinearMean.py:26-42).
     """
 
     kind: str
     out_dim: int
     noise_is_shared: bool = False
     quad_points: int = 100
-    num_classes: int = 0  # categorical only
+    num_classes: int = 0        # categorical only
+    warp_flow: tuple = ()       # warped only
 
 
 def init_likelihood_params(spec: LikelihoodSpec, noise_init: float = 0.05,
@@ -47,7 +51,11 @@ def init_likelihood_params(spec: LikelihoodSpec, noise_init: float = 0.05,
     if spec.kind in ("bernoulli", "categorical"):
         return {}
     n = 1 if spec.noise_is_shared else spec.out_dim
-    return {"log_var_noise": jnp.full((n, 1), float(np.log(noise_init)), dtype)}
+    params = {"log_var_noise": jnp.full((n, 1), float(np.log(noise_init)), dtype)}
+    if spec.kind == "warped" and spec.warp_flow:
+        from ..flows.core import init_flow_params
+        params["warp"] = init_flow_params(spec.warp_flow, dtype=dtype)
+    return params
 
 
 def noise_variance(spec: LikelihoodSpec, params, Dy: int | None = None):

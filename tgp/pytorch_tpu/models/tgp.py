@@ -404,6 +404,10 @@ def elbo(spec: TGPSpec, params, X, Y, rng: Optional[jax.Array] = None):
             raise ValueError("categorical ELL requires an rng")
         rng, sub = jax.random.split(rng)
         ell = categorical_ell(lik, params["likelihood"], Y.reshape(-1), mu, var, warp, sub)
+    elif lik.kind == "warped":
+        from ..likelihoods.warped import warped_ell
+        ell = jnp.sum(warped_ell(lik, params["likelihood"], Y.T, mu, var,
+                                 lik.warp_flow, params["likelihood"]["warp"]))
     else:
         raise NotImplementedError(lik.kind)
 
@@ -433,6 +437,11 @@ def predictive_distribution(spec: TGPSpec, params, X, *, S_MC: int = 1,
 
     if lik.kind == "gaussian":
         m1, m2 = gaussian_moments(lik, lp, mu, var)
+        return m1, m2, mu, var
+
+    if lik.kind == "warped":
+        from ..likelihoods.warped import warped_moments
+        m1, m2 = warped_moments(lik, lp, mu, var, lik.warp_flow, lp["warp"])
         return m1, m2, mu, var
 
     if lik.kind == "gaussian_flow":
@@ -488,8 +497,17 @@ def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
     lik = spec.likelihood
     lp = params["likelihood"]
 
-    if lik.kind == "gaussian":
-        m, C = gaussian_moments(lik, lp, *marginal_qf(spec, params, X3, diagonal=True))
+    if lik.kind in ("gaussian", "warped"):
+        # warped uses moment-matched Gaussian predictive log-density — the
+        # reference evaluates WarpedGaussianLinearMean through the
+        # GaussianLinearMean isinstance branch (sparse_MF_SP.py:780-791)
+        # whose moments come from the overridden warped marginal_moments.
+        mu, var = marginal_qf(spec, params, X3, diagonal=True)
+        if lik.kind == "gaussian":
+            m, C = gaussian_moments(lik, lp, mu, var)
+        else:
+            from ..likelihoods.warped import warped_moments
+            m, C = warped_moments(lik, lp, mu, var, lik.warp_flow, lp["warp"])
         Ys = Y_std[:, None]
         return jnp.sum(
             -0.5 * (jnp.log(2 * math.pi * jnp.square(Ys) * C)
@@ -598,6 +616,14 @@ def sample_predictive(spec: TGPSpec, params, X, S: int, rng,
         rng, sub = jax.random.split(rng)
         noise = jax.random.normal(sub, fk.shape, fk.dtype) * jnp.sqrt(C_y)[None]
         y = fk + noise
+    elif lik.kind == "warped":
+        # Y = T^{-1}(f + eps): sample in warped space, invert the warp
+        # (reference: WarpedGaussianLinearMean.py:44-63)
+        from ..flows.core import flow_inverse
+        C_y = noise_variance(lik, params["likelihood"])
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, fk.shape, fk.dtype) * jnp.sqrt(C_y)[None]
+        y = flow_inverse(lik.warp_flow, params["likelihood"]["warp"], fk + noise)
     elif lik.kind == "bernoulli":
         p = jax.scipy.stats.norm.cdf(fk)
         rng, sub = jax.random.split(rng)

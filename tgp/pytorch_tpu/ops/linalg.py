@@ -24,10 +24,24 @@ from .. import config as cfg
 
 
 def add_jitter(A, jitter: float | None = None):
-    """A + jitter * I on the trailing two dims."""
-    if jitter is None:
-        jitter = cfg.jitter_value(A.dtype)
+    """A + jitter * I on the trailing two dims.
+
+    Default jitter policy: fp64 uses the reference's absolute 1e-8 base
+    (code/dsp/utils.py:256-257); fp32 uses a *scale-aware* jitter
+    1e-5 * mean(diag A) (floored at 1e-6) — fp32 rounding of a smooth-kernel
+    Gram routinely produces eigenvalues around -5e-6 * scale, which the
+    reference's escalating ladder (up to 1e-4 * 10^i) would also have
+    absorbed; a fixed absolute 1e-6 does not.
+    """
     M = A.shape[-1]
+    if jitter is None:
+        base = cfg.jitter_value(A.dtype)
+        if jnp.dtype(A.dtype) == jnp.float32:
+            mean_diag = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1),
+                                 axis=-1, keepdims=True)
+            j = jnp.maximum(10.0 * base * mean_diag, base)[..., None]
+            return A + j * jnp.eye(M, dtype=A.dtype)
+        jitter = base
     return A + jitter * jnp.eye(M, dtype=A.dtype)
 
 
