@@ -100,6 +100,34 @@ def additive(*children: KernelSpec):
     return KernelSpec("additive", tuple(children))
 
 
+def spectral_mixture(num_components: int, base: str = "periodic") -> KernelSpec:
+    """Spectral-mixture composition: sum_k Periodic_k x ScaleRBF_k
+    ('spectral_mixture') or Cosine_k x ScaleRBF_k ('sm').
+
+    reference: code/dsp/models/utils_models.py:216-274 — per-component
+    period/lengthscale/magnitude initial values are passed through
+    `init_spectral_mixture_params`.
+    """
+    comp = periodic() if base == "periodic" else cosine()
+    return additive(*[product(comp, scale(rbf())) for _ in range(num_components)])
+
+
+def init_spectral_mixture_params(spec: KernelSpec, Dy: int, Dx: int,
+                                 periods, lengthscales, magnitudes,
+                                 dtype=None):
+    """Per-component initialisation for `spectral_mixture` specs."""
+    dtype = dtype or cfg.default_dtype()
+    children = []
+    for k, child in enumerate(spec.children):
+        p = init_params(child, Dy, Dx, {
+            "period": float(np.asarray(periods[k]).reshape(-1)[0]),
+            "length_scale": float(np.asarray(lengthscales[k]).reshape(-1)[0]),
+            "kernel_scale": float(np.asarray(magnitudes[k]).reshape(-1)[0]),
+        }, dtype)
+        children.append(p)
+    return {"children": tuple(children)}
+
+
 def from_name(name: str) -> KernelSpec:
     """Name-compatible factory mirroring reference `instance_kernel` names
     (code/dsp/models/utils_models.py:183-214)."""

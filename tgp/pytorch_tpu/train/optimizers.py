@@ -33,6 +33,7 @@ def _base_transform(opt: str):
         "adam_W": lambda: optax.scale_by_adam(),   # decoupled wd added below
         "adam_R": lambda: optax.scale_by_radam(),
         "sgd": lambda: optax.identity(),
+        "lbfgs": lambda: optax.scale_by_lbfgs(),
     }
     if opt not in table:
         raise NotImplementedError(f"optimizer {opt!r}")
