@@ -89,6 +89,13 @@ class TGPSpec:
     kernel: KernelSpec
     likelihood: LikelihoodSpec
     flow: Tuple[FlowStep, ...] = IDENTITY_SPEC
+    #: optional per-output flow architectures (the reference's general
+    #: flow_connection='single' case with heterogeneous archs,
+    #: sparse_MF_SP.py:235-264).  When set, `flow` is ignored, params['flow']
+    #: is a python list of per-output pytrees, and warping loops outputs
+    #: (slow path — every experiment in the reference replicates one arch,
+    #: which uses the stacked/vmapped fast path instead).
+    flow_per_output: Optional[Tuple[Tuple[FlowStep, ...], ...]] = None
     mean: str = "zero"             # 'zero' | 'identity' | 'linear'
     whiten: bool = True
     Z_is_shared: bool = False
@@ -100,6 +107,8 @@ class TGPSpec:
 
     @property
     def has_flow(self) -> bool:
+        if self.flow_per_output is not None:
+            return any(not is_identity_spec(f) for f in self.flow_per_output)
         return not is_identity_spec(self.flow)
 
     @property
@@ -120,6 +129,8 @@ class TGPSpec:
                 ):
                     return True
             return False
+        if self.flow_per_output is not None:
+            return any(any_st(f) for f in self.flow_per_output)
         return any_st(self.flow)
 
 
@@ -192,7 +203,13 @@ def init_tgp_params(
     lparams = init_likelihood_params(spec.likelihood, noise_init, dtype)
 
     # -- flows -------------------------------------------------------------
-    if spec.has_flow:
+    if spec.flow_per_output is not None:
+        fparams = []
+        for d, fs in enumerate(spec.flow_per_output):
+            key, sub = jax.random.split(key)
+            inits_d = flow_inits[d] if flow_inits is not None else None
+            fparams.append(init_flow_params(fs, inits_d, sub, dtype))
+    elif spec.has_flow:
         if spec.flow_is_shared:
             fparams = init_flow_params(spec.flow, flow_inits, key, dtype)
         else:
@@ -331,6 +348,20 @@ def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool):
     fp = params["flow"]
     need_rng = spec.has_stochastic_flow and stochastic
 
+    if spec.flow_per_output is not None:
+        # heterogeneous slow path: python loop over outputs
+        def warp_hetero(f):  # (S, Dy, MB)
+            outs = []
+            r = rng
+            for d, fs in enumerate(spec.flow_per_output):
+                sub = None
+                if r is not None:
+                    r, sub = jax.random.split(r)
+                ctx = FlowCtx(rng=sub, stochastic=stochastic)
+                outs.append(flow_forward(fs, fp[d], f[:, d, :], X3[d], ctx))
+            return jnp.stack(outs, axis=1)
+        return warp_hetero
+
     def warp_one(p_d, X_d, rng_d, f_d):
         ctx = FlowCtx(rng=rng_d, stochastic=stochastic)
         return flow_forward(spec.flow, p_d, f_d, X_d, ctx)
@@ -360,6 +391,9 @@ def flows_kld(spec: TGPSpec, params):
     if not spec.has_flow:
         return jnp.zeros(())
     fp = params["flow"]
+    if spec.flow_per_output is not None:
+        return sum(flow_kld(fs, fp[d])
+                   for d, fs in enumerate(spec.flow_per_output))
     if spec.flow_is_shared:
         return flow_kld(spec.flow, fp)
     klds = jax.vmap(lambda p: flow_kld(spec.flow, p))(fp)

@@ -88,6 +88,11 @@ class Trainer:
         self.ell_curve = []
         self.kld_curve = []
         self.fully_bayesian = False
+        #: 'cpu' runs evaluation kernels on host — the analog of the
+        #: reference's inference_in_cpu device swap
+        #: (trainers_regression.py:161-179), useful when S_test blows device
+        #: memory; None = same device as training.
+        self.eval_device = None
 
     # ------------------------------------------------------------------
     def _next_rng(self):
@@ -356,9 +361,14 @@ class Trainer:
     def compute_metrics(self):
         """Full-split metrics for train/valid/test.
         reference: trainers_regression.py:108-155."""
-        res = {"train": self._metrics_for_loader(self.train_loader)}
-        if self.valid_loader is not None:
-            res["valid"] = self._metrics_for_loader(self.valid_loader)
-        if self.test_loader is not None:
-            res["test"] = self._metrics_for_loader(self.test_loader)
+        import contextlib
+        ctx = contextlib.nullcontext()
+        if self.eval_device == "cpu":
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        with ctx:
+            res = {"train": self._metrics_for_loader(self.train_loader)}
+            if self.valid_loader is not None:
+                res["valid"] = self._metrics_for_loader(self.valid_loader)
+            if self.test_loader is not None:
+                res["test"] = self._metrics_for_loader(self.test_loader)
         return res
