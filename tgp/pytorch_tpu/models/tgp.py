@@ -334,6 +334,20 @@ def kld_qu(spec: TGPSpec, params):
 
 # -- flow warping (vmapped over outputs) ------------------------------------
 
+def _warp_clip(f):
+    """Dtype-aware magnitude clip on warped values.
+
+    In fp32, a flow chain (sinh/exp under free hypernet parameters) can push
+    |G(f)| past ~1e19, where (y - G(f))^2 overflows to inf and poisons the
+    whole gradient with NaNs — the reference never hits this because it runs
+    fp64 (overflow at 1e154).  The clip is far outside any statistically
+    meaningful range; beyond it gradients are zero, which lets the optimizer
+    recover via the remaining points instead of diverging.
+    """
+    big = 1e15 if f.dtype == jnp.float32 else 1e150
+    return jnp.clip(f, -big, big)
+
+
 def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool):
     """Build warp: f (S, Dy, MB) -> (S, Dy, MB), vmapping flows over Dy.
 
@@ -359,7 +373,7 @@ def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool):
                     r, sub = jax.random.split(r)
                 ctx = FlowCtx(rng=sub, stochastic=stochastic)
                 outs.append(flow_forward(fs, fp[d], f[:, d, :], X3[d], ctx))
-            return jnp.stack(outs, axis=1)
+            return _warp_clip(jnp.stack(outs, axis=1))
         return warp_hetero
 
     def warp_one(p_d, X_d, rng_d, f_d):
@@ -374,13 +388,13 @@ def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool):
                 out = jax.vmap(lambda X_d, r_d, f_d: warp_one(fp, X_d, r_d, f_d))(X3, rngs, fT)
             else:
                 out = jax.vmap(lambda X_d, f_d: warp_one(fp, X_d, None, f_d))(X3, fT)
-            return jnp.swapaxes(out, 0, 1)
+            return _warp_clip(jnp.swapaxes(out, 0, 1))
         if need_rng:
             rngs = jax.random.split(rng, spec.Dy)
             out = jax.vmap(warp_one)(fp, X3, rngs, fT)
         else:
             out = jax.vmap(lambda p_d, X_d, f_d: warp_one(p_d, X_d, None, f_d))(fp, X3, fT)
-        return jnp.swapaxes(out, 0, 1)
+        return _warp_clip(jnp.swapaxes(out, 0, 1))
 
     return warp
 

@@ -93,11 +93,31 @@ class Trainer:
         #: (trainers_regression.py:161-179), useful when S_test blows device
         #: memory; None = same device as training.
         self.eval_device = None
+        #: raise (with the offending parameter paths) when the ELBO goes
+        #: non-finite — the jit-compatible analog of the reference's NanError
+        #: raises (code/dsp/utils.py:241-254, flow.py:115-123).
+        self.nan_guard = True
+        self._opt_cache = None  # (labels_repr, optimizer, opt_state)
 
     # ------------------------------------------------------------------
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _check_finite(self, where: str):
+        if not self.nan_guard or not self.loss_curve:
+            return
+        if np.isfinite(float(self.loss_curve[-1])):
+            return
+        bad = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(self.params):
+            if not bool(jnp.isfinite(leaf).all()):
+                bad.append("/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                                    for p in path))
+        raise FloatingPointError(
+            f"non-finite ELBO at {where}; non-finite parameters: {bad or 'none'}"
+            f" — consider fp64 precision, a larger Cholesky jitter, or a "
+            f"smaller learning rate")
 
     def _make_train_step(self, optimizer):
         spec = self.spec
@@ -229,6 +249,7 @@ class Trainer:
                     self.loss_curve.extend(np.asarray(curves[0]))
                     self.ell_curve.extend(np.asarray(curves[1]))
                     self.kld_curve.extend(np.asarray(curves[2]))
+                    self._check_finite(f"epoch {ep_done}")
                     if verbose_each:
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
@@ -266,6 +287,8 @@ class Trainer:
                     self.loss_curve.append(curves[0][-1])
                     self.ell_curve.append(curves[1][-1])
                     self.kld_curve.append(curves[2][-1])
+                    if ep_done % 50 == 0:
+                        self._check_finite(f"epoch {ep_done}")
                     if verbose_each and (ep_done % verbose_each == 0):
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
@@ -286,6 +309,8 @@ class Trainer:
                     if self.track_fn is not None:
                         self.track_fn(self)
                 ep_done += 1
+                if ep_done % 50 == 0:
+                    self._check_finite(f"epoch {ep_done}")
                 if verbose_each and (ep_done % verbose_each == 0):
                     print(f"| epoch {ep_done}/{epochs}  ELBO {float(e):.4f} "
                           f"ELL {float(ell):.4f} KLD {float(kld):.4f} "
