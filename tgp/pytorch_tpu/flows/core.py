@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg
-from ..ops.transforms import softplus, inv_softplus, safe_tanh
+from ..ops.transforms import softplus, inv_softplus, safe_tanh, safe_sinh, safe_exp
 from .hypernet import HyperNetSpec, init_hypernet, apply_hypernet, hypernet_kld
 
 
@@ -285,7 +285,7 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
     if k == "identity":
         return f
     if k == "exp":
-        return jnp.exp(f)
+        return safe_exp(f)
     if k == "log":
         return jnp.log(f)
     if k == "softplus":
@@ -304,9 +304,9 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
             a, b = params["a"], params["b"]
         b = _maybe_pos(b, step.set_restrictions)
         if k == "sinh_arcsinh":
-            fk = jnp.sinh(b * _asinh(f) - a)
+            fk = safe_sinh(b * _asinh(f) - a)
         else:
-            fk = jnp.sinh((_asinh(f) + a) / b)
+            fk = safe_sinh((_asinh(f) + a) / b)
         return fk + f if step.add_init_f0 else fk
     if k in ("arcsinh", "inverse_arcsinh", "sinh", "tanh"):
         if step.input_dependent and k == "tanh":
@@ -318,9 +318,9 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
         if k == "arcsinh":
             fk = a + b * _asinh((f - c) / d)
         elif k == "inverse_arcsinh":
-            fk = c + d * jnp.sinh((f - a) / b)
+            fk = c + d * safe_sinh((f - a) / b)
         elif k == "sinh":
-            fk = a + b * jnp.sinh((f - c) / d)
+            fk = a + b * safe_sinh((f - c) / d)
         else:
             fk = a + b * safe_tanh((f - c) / d)
         return fk + f if step.add_init_f0 else fk
@@ -340,7 +340,7 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
         if k == "tukey_left":
             g = -g
         h = softplus(params["h"])
-        return (1.0 / g) * (jnp.exp(g * f) - 1.0) * jnp.exp(h * jnp.square(f) / 2.0)
+        return (1.0 / g) * (safe_exp(g * f) - 1.0) * safe_exp(h * jnp.square(f) / 2.0)
     if k == "normalCDF":
         if step.learnable:
             a, b, c, d = params["a"], params["b"], params["c"], params["d"]

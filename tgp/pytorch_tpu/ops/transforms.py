@@ -16,6 +16,29 @@ def softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
+def safe_sinh(x):
+    """sinh with the argument clipped dtype-dependently (30 in fp32, 300 in
+    fp64 — values 5e12 / 1e130, far beyond any statistically meaningful
+    warp output).
+
+    Rationale: if sinh reaches inf, any downstream clip produces a zero
+    cotangent that meets cosh(inf)=inf in the VJP, and 0*inf = NaN poisons
+    the whole gradient.  The reference never hits this because it runs fp64
+    where the flows stay in range for its experiments; an fp32 TPU run of
+    the input-dependent SAL flows does hit it (hypernet-emitted b grows
+    until b*asinh(f) > 89).
+    """
+    lim = 30.0 if jnp.asarray(x).dtype == jnp.float32 else 300.0
+    return jnp.sinh(jnp.clip(x, -lim, lim))
+
+
+def safe_exp(x):
+    """exp with the argument clipped below the overflow threshold
+    (same 0*inf-in-VJP rationale as safe_sinh)."""
+    lim = 80.0 if jnp.asarray(x).dtype == jnp.float32 else 700.0
+    return jnp.exp(jnp.clip(x, -jnp.inf, lim))
+
+
 def safe_tanh(x):
     """tanh with the argument clipped to +-30.
 
