@@ -292,3 +292,51 @@ def build_chain(flow_combination, num_blocks, **kwargs):
 
 def identity():
     return [("identity", {})]
+
+
+def random_flow(name: str):
+    """Randomly-initialised single flows for gaussianization experiments.
+
+    reference: code/dsp/flows.py:494-573
+    (`get_flow_combinations_randomly_initalised`).  Accepts a name or a
+    (nested) list of names, returning a flat spec list.
+    """
+    if isinstance(name, (list, tuple)):
+        out = []
+        for n in name:
+            out.extend(random_flow(n))
+        return out
+    if name == "affine":
+        a, b = np.random.randn(2)
+        return [("affine", {"init_a": a, "init_b": b, "set_restrictions": True})]
+    if name == "arcsinh":
+        a, b, c, d = np.random.randn(4)
+        return [("arcsinh", {"init_a": a, "init_b": b, "init_c": c, "init_d": d,
+                             "add_init_f0": False, "set_restrictions": True})]
+    if name == "inverse_arcsinh":
+        a, b, c, d = np.random.randn(4)
+        return [("inverse_arcsinh", {"init_a": a, "init_b": b, "init_c": c,
+                                     "init_d": d, "add_init_f0": False,
+                                     "set_restrictions": True})]
+    if name in ("sinh_arcsinhflow", "sinh_arcsinh"):
+        a, b = np.random.randn(2)
+        return [("sinh_arcsinh", {"init_a": a, "init_b": b, "add_init_f0": False,
+                                  "set_restrictions": True})]
+    if name in ("inverse_sinh_arcsinhflow", "inverse_sinh_arcsinh"):
+        a, b = np.random.randn(2)
+        return [("inverse_sinh_arcsinh", {"init_a": a, "init_b": b,
+                                          "add_init_f0": False,
+                                          "set_restrictions": True})]
+    if name == "exp":
+        return [("exp", {})]
+    if name == "softplus":
+        return [("softplus", {})]
+    if name == "inverse_boxcox":
+        # translation + constrained inverse Box-Cox (flows.py:538-549)
+        return [("translation", {"init_b": 0.0}),
+                ("inverseboxcox", {"init_lam": 0.01, "add_init_f0": False,
+                                   "constraint": "sigmoid2"})]
+    if name == "tukey_right":
+        g, h = np.random.randn(2)
+        return [("tukey_right", {"init_g": g, "init_h": h, "add_init_f0": False})]
+    raise ValueError(f"unknown random flow {name!r}")

@@ -116,7 +116,12 @@ def kl_whitened(m, L_raw):
     """
     L = tril_mask(L_raw)
     M = m.shape[-1]
-    log_det = jnp.sum(jnp.log(jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
+    # tiny floor inside the log: the raw scale's diagonal is unconstrained
+    # (the reference also stores a raw masked matrix,
+    # sparse_MF_SP.py:344-347) and a zero crossing would make the logdet
+    # -inf and its gradient 1/0 — poisoning fp32 runs that graze zero.
+    eps = 1e-30 if L.dtype == jnp.float64 else 1e-12
+    log_det = jnp.sum(jnp.log(jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1)) + eps), axis=-1)
     dot_mean = jnp.sum(jnp.square(m), axis=-1)
     trace = jnp.sum(jnp.square(L), axis=(-2, -1))  # tr(L L^T) = ||L||_F^2
     return 0.5 * (-log_det + dot_mean + trace - float(M))
