@@ -46,14 +46,47 @@ def add_jitter(A, jitter: float | None = None):
 
 
 def safe_cholesky(A, jitter: float | None = None):
-    """Lower Cholesky of A + jitter*I.
+    """Lower Cholesky with an escalating jitter ladder, jit-compatible.
 
-    Returns (L, A_jittered) like the reference's local `psd_safe_cholesky`
-    (code/dsp/utils.py:222-270) which also returns the stabilised matrix.
-    NaNs are not raised under jit; surface them via `jnp.isnan(L).any()`
-    as a metric if needed.
+    The reference retries the factorization with jitter * 10^i, i < 3, on
+    failure (code/dsp/utils.py:222-270).  A data-dependent python retry does
+    not trace; instead the ladder is evaluated as a small batch of chol
+    calls (base, 10x, 100x — O(3 M^3), negligible next to the O(N M^2)
+    solves) and the first finite factorization is selected per batch
+    element.  fp32 runs genuinely need this: Gram matrices of drifting
+    kernel hyper-parameters can go indefinite past any fixed jitter.
+
+    Returns (L, A_jittered) like the reference's variant that also returns
+    the stabilised matrix.
     """
-    Aj = add_jitter(A, jitter)
+    if jitter is not None:
+        Aj = add_jitter(A, jitter)
+        return jnp.linalg.cholesky(Aj), Aj
+
+    # --- probe phase (no gradients): find the smallest ladder level whose
+    # factorization is finite.  stop_gradient keeps any NaN produced by the
+    # failing probes out of the autodiff graph entirely.
+    base = cfg.jitter_value(A.dtype)
+    M = A.shape[-1]
+    eye = jnp.eye(M, dtype=A.dtype)
+    mean_diag = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1),
+                         axis=-1)[..., None, None]
+    if jnp.dtype(A.dtype) == jnp.float32:
+        j0 = jnp.maximum(10.0 * base * mean_diag, base)  # scale-aware fp32 base
+    else:
+        j0 = jnp.full_like(mean_diag, base)              # reference's absolute base
+
+    A_sg = jax.lax.stop_gradient(A)
+    j0_sg = jax.lax.stop_gradient(j0)
+    ok1 = jnp.isfinite(jnp.linalg.cholesky(A_sg + j0_sg * eye)).all(
+        axis=(-2, -1), keepdims=True)
+    ok2 = jnp.isfinite(jnp.linalg.cholesky(A_sg + 10.0 * j0_sg * eye)).all(
+        axis=(-2, -1), keepdims=True)
+    jit_sel = jnp.where(ok1, j0, jnp.where(ok2, 10.0 * j0, 100.0 * j0))
+
+    # --- differentiable phase: one chol at the selected jitter (finite by
+    # construction unless even 100x fails, which the reference also raises on)
+    Aj = A + jax.lax.stop_gradient(jit_sel) * eye
     L = jnp.linalg.cholesky(Aj)
     return L, Aj
 
