@@ -68,6 +68,35 @@ def test_safe_cholesky_jitter_and_solves():
                                b, rtol=1e-6)
 
 
+def test_cholesky_ladder_rescues_indefinite_fp32_gram():
+    # a smooth-kernel Gram that is indefinite at fp32 rounding (the failure
+    # mode that NaN'd power M=100 runs before the ladder existed)
+    rng = np.random.RandomState(0)
+    X = rng.randn(100, 4) * 0.05          # tightly clustered -> near-rank-1
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    A32 = jnp.asarray(2.0 * np.exp(-0.5 * d2), jnp.float32)[None]
+    w = np.linalg.eigvalsh(np.asarray(A32[0], np.float64))
+    assert w.min() < 1e-5  # genuinely near-singular
+    L, Aj = safe_cholesky(A32)
+    assert bool(jnp.isfinite(L).all())
+
+    # gradient through the ladder stays finite (stop-gradient probes keep
+    # failing factorizations out of the autodiff graph)
+    def f(a):
+        L, _ = safe_cholesky(a)
+        return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1) ** 2 + 1e-12))
+
+    g = jax.grad(f)(A32)
+    assert bool(jnp.isfinite(g).all())
+
+
+def test_cholesky_explicit_jitter_passthrough():
+    A = jnp.eye(4)[None] * 2.0
+    L, Aj = safe_cholesky(A, jitter=0.5)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(Aj, axis1=-2, axis2=-1)),
+                               2.5)
+
+
 def test_kl_whitened_equals_full_gaussian_vs_standard_normal():
     rng = np.random.RandomState(2)
     m = jnp.array(rng.randn(3, 5))

@@ -217,12 +217,6 @@ def _sq_dist(X1s, X2s):
     return jnp.maximum(d2, 0.0)
 
 
-def _pair_diff_sum(fn, X1, X2, params_key, params):
-    """sum_d fn(x1_d - x2_d, theta_d) for periodic-type kernels (VPU path)."""
-    diff = X1[:, :, None, :] - X2[:, None, :, :]  # (Dy,N,M,Dx)
-    return fn(diff, params)
-
-
 def gram(spec: KernelSpec, params, X1, X2, same: bool = False):
     """Full Gram matrix K(X1, X2): (Dy, N, M).
 

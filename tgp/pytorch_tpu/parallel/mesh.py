@@ -23,9 +23,6 @@ documents why no sequence/ring machinery is needed).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
