@@ -1,0 +1,114 @@
+"""Extended benchmark table (beyond the driver's single bench.py line).
+
+    python benchmarks/run_all.py [--platform tpu|cpu]
+
+Measures scan-compiled training throughput and evaluation latency for the
+reference's headline configs plus a production-scale config, printing a
+JSON line per row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as Mm
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(N, Dx).astype(np.float32)
+    Y = rng.randn(N, 1).astype(np.float32)
+    if flow_blocks:
+        np.random.seed(0)
+        fspec, finits = spec_from_list(G.SAL(flow_blocks))
+        lik = LikelihoodSpec("gaussian_flow", 1, quad_points=quad)
+    else:
+        fspec, finits = IDENTITY_SPEC, None
+        lik = LikelihoodSpec("gaussian", 1)
+    spec = Mm.TGPSpec(Dy=1, Dx=Dx, M=M, N=float(N), kernel=K.from_name("scale_rbf"),
+                      likelihood=lik, flow=fspec, min_var=1e-8)
+    params = Mm.init_tgp_params(spec, X, X[:M].copy(), variance_scale=1e-5,
+                                kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+                                flow_inits=finits)
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    opt = optax.adam(0.01)
+    s = opt.init(params)
+
+    @jax.jit
+    def run_chunk(p, s):
+        def body(c, _):
+            p, s = c
+            g = jax.grad(lambda pp: -Mm.elbo(spec, pp, Xd, Yd)[0])(p)
+            u, s2 = opt.update(g, s, p)
+            return (optax.apply_updates(p, u), s2), None
+        (p, s), _ = jax.lax.scan(body, (p, s), None, length=chunk)
+        return p, s
+
+    t0 = time.perf_counter()
+    params, s = run_chunk(params, s)
+    jax.block_until_ready(params)
+    compile_s = time.perf_counter() - t0
+
+    n_chunks = max(1, steps // chunk)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        params, s = run_chunk(params, s)
+    jax.block_until_ready(params)
+    train_sps = n_chunks * chunk / (time.perf_counter() - t0)
+
+    # eval latency: test-LL + predictive moments + 100 predictive samples
+    eval_fn = jax.jit(lambda p, r: (
+        Mm.test_log_likelihood(spec, p, Xd, Yd, jnp.ones(1)),
+        Mm.predictive_distribution(spec, p, Xd)[0],
+        Mm.sample_predictive(spec, p, Xd, 100, r)[0]))
+    r = jax.random.PRNGKey(0)
+    jax.block_until_ready(eval_fn(params, r))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = eval_fn(params, r)
+    jax.block_until_ready(out)
+    eval_ms = (time.perf_counter() - t0) / 5 * 1e3
+
+    return {"config": name, "N": N, "M": M, "quad": quad,
+            "train_steps_per_sec": round(train_sps, 1),
+            "eval_ms": round(eval_ms, 2),
+            "compile_s": round(compile_s, 1)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from tgp.pytorch_tpu import config as cfg
+    cfg.set_precision("fp32")
+
+    rows = [
+        bench_config("SVGP boston-size", 455, 13, 5, 0, 0),
+        bench_config("SVGP power-size", 8611, 4, 100, 0, 0),
+        bench_config("TGP power-size (SALx2, quad100)", 8611, 4, 100, 100, 2),
+        bench_config("TGP large (M=512, N=65536)", 65536, 8, 512, 100, 2,
+                     steps=100, chunk=50),
+    ]
+    for r in rows:
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,11 @@ class TGPSpec:
     q_U_is_shared: bool = False
     flow_is_shared: bool = False   # 'shared' vs 'single' connection
     min_var: float = 1e-12         # diagonal-variance floor (fp32 safety)
+    #: rematerialize the marginal-qf + quadrature pipeline in the backward
+    #: pass (jax.checkpoint): trades ~1 extra forward for not keeping the
+    #: (M, MB) solve and (S, Dy, MB) quadrature intermediates alive — the
+    #: HBM lever for large-M / large-batch (airline-scale) training.
+    remat: bool = False
 
     @property
     def has_flow(self) -> bool:
@@ -433,13 +438,23 @@ def elbo(spec: TGPSpec, params, X, Y, rng: Optional[jax.Array] = None):
     """
     MB = X.shape[0]
     X3 = _ensure_3d(spec, X)
-    mu, var = marginal_qf(spec, params, X3, diagonal=True)
+    qf = marginal_qf
+    if spec.remat:
+        qf = jax.checkpoint(
+            lambda p, x: marginal_qf(spec, p, x, diagonal=True),
+            static_argnums=())
+        mu, var = qf(params, X3)
+    else:
+        mu, var = marginal_qf(spec, params, X3, diagonal=True)
 
     kl = jnp.sum(kld_qu(spec, params))
     kl_flow = flows_kld(spec, params)
 
     lik = spec.likelihood
     warp = _make_warp(spec, params, X3, rng, stochastic=True)
+    if spec.remat and spec.has_flow:
+        inner_warp = warp
+        warp = lambda f: jax.checkpoint(inner_warp)(f)
 
     if lik.kind == "gaussian":
         ell = jnp.sum(gaussian_ell(lik, params["likelihood"], Y.T, mu, var))
