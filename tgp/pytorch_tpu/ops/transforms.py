@@ -16,6 +16,10 @@ def softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
+import jax
+
+
+@jax.custom_jvp
 def safe_sinh(x):
     """sinh with the argument clipped dtype-dependently (30 in fp32, 300 in
     fp64 — values 5e12 / 1e130, far beyond any statistically meaningful
@@ -27,9 +31,23 @@ def safe_sinh(x):
     where the flows stay in range for its experiments; an fp32 TPU run of
     the input-dependent SAL flows does hit it (hypernet-emitted b grows
     until b*asinh(f) > 89).
+
+    Custom JVP: d sinh = cosh = sqrt(1 + sinh^2) reuses the primal value —
+    one fewer transcendental per element in the backward pass of every flow
+    chain (the quadrature grid makes this S*Dy*MB elements per step).
     """
     lim = 30.0 if jnp.asarray(x).dtype == jnp.float32 else 300.0
     return jnp.sinh(jnp.clip(x, -lim, lim))
+
+
+@safe_sinh.defjvp
+def _safe_sinh_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    lim = 30.0 if jnp.asarray(x).dtype == jnp.float32 else 300.0
+    inside = (x > -lim) & (x < lim)
+    y = jnp.sinh(jnp.clip(x, -lim, lim))
+    dy = jnp.where(inside, jnp.sqrt(1.0 + jnp.square(y)), 0.0) * dx
+    return y, dy
 
 
 def safe_exp(x):
