@@ -1,0 +1,66 @@
+"""Serving API tests: bucketing, de-normalisation, per-point log-prob."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tgp.pytorch_tpu.ops import kernels as K
+from tgp.pytorch_tpu.models import tgp as M
+from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+from tgp.pytorch_tpu.serve import Predictor
+
+
+def _model(flow=None):
+    rng = np.random.RandomState(0)
+    X = rng.randn(50, 3)
+    fspec, finits = (spec_from_list(flow) if flow else (M.IDENTITY_SPEC, None))
+    lik = "gaussian_flow" if flow else "gaussian"
+    spec = M.TGPSpec(Dy=1, Dx=3, M=6, N=50.0, kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec(lik, 1, quad_points=24),
+                     flow=fspec)
+    params = M.init_tgp_params(spec, X, X[:6], flow_inits=finits)
+    return spec, params, X
+
+
+def test_predictor_moments_and_bands():
+    spec, params, X = _model()
+    pred = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16, 64))
+    out = pred.predict(X[:10], samples=50)
+    assert out["mean"].shape == (1, 10)
+    assert out["samples"].shape == (1, 50, 10)
+    assert np.all(out["lower"] <= out["upper"])
+    # de-normalisation: mean should be approximately Y_mean-centered
+    assert abs(out["mean"].mean() - 5.0) < 3.0
+
+
+def test_predictor_bucket_padding_consistent():
+    spec, params, X = _model(flow=G.SAL(1))
+    pred = Predictor(spec, params, buckets=(16, 64))
+    out_small = pred.predict(X[:10], samples=0, quantiles=None)
+    out_full = pred.predict(X[:16], samples=0, quantiles=None)
+    np.testing.assert_allclose(out_small["mean"][0], out_full["mean"][0][:10],
+                               rtol=1e-6)
+
+
+def test_predictor_log_prob_matches_model():
+    spec, params, X = _model()
+    rng = np.random.RandomState(1)
+    Y = rng.randn(10, 1)
+    pred = Predictor(spec, params, Y_std=1.0, buckets=(16,))
+    lp = pred.log_prob(X[:10], Y)
+    ref = M.test_log_likelihood(spec, params, jnp.asarray(X[:10]),
+                                jnp.asarray(Y), jnp.ones(1))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref), rtol=1e-6)
+
+
+def test_reduce_false_per_point_logp():
+    spec, params, X = _model(flow=G.SAL(1))
+    rng = np.random.RandomState(1)
+    Y = rng.randn(50, 1)
+    full = M.test_log_likelihood(spec, params, jnp.asarray(X), jnp.asarray(Y),
+                                 jnp.ones(1))
+    per = M.test_log_likelihood(spec, params, jnp.asarray(X), jnp.asarray(Y),
+                                jnp.ones(1), reduce=False)
+    np.testing.assert_allclose(float(per.sum()), float(full[0]), rtol=1e-8)

@@ -544,7 +544,8 @@ def predictive_distribution(spec: TGPSpec, params, X, *, S_MC: int = 1,
 
 def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
                         fully_bayesian: bool = False,
-                        rng: Optional[jax.Array] = None):
+                        rng: Optional[jax.Array] = None,
+                        reduce: bool = True):
     """log p(Y*|X*) per output, shape (Dy,), by Gauss-Hermite quadrature.
 
     reference: code/dsp/models/sparse_MF_SP.py:637-825.
@@ -572,11 +573,9 @@ def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
             from ..likelihoods.warped import warped_moments
             m, C = warped_moments(lik, lp, mu, var, lik.warp_flow, lp["warp"])
         Ys = Y_std[:, None]
-        return jnp.sum(
-            -0.5 * (jnp.log(2 * math.pi * jnp.square(Ys) * C)
-                    + jnp.square(Ys * Y.T - Ys * m) / (jnp.square(Ys) * C)),
-            axis=-1,
-        )
+        lpp = -0.5 * (jnp.log(2 * math.pi * jnp.square(Ys) * C)
+                      + jnp.square(Ys * Y.T - Ys * m) / (jnp.square(Ys) * C))
+        return jnp.sum(lpp, axis=-1) if reduce else lpp
 
     if lik.kind == "gaussian_flow":
         mu, var = marginal_qf(spec, params, X3, diagonal=True)
@@ -607,11 +606,13 @@ def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
 
             inner = jax.vmap(one)(rngs)                   # (S_MC, Dy, MB)
             outer = jax.scipy.special.logsumexp(inner, axis=0) - math.log(S_MC)
-            return jnp.sum(outer, axis=-1)
+            return jnp.sum(outer, axis=-1) if reduce else outer
 
         warp = _make_warp(spec, params, X3, rng, stochastic=False)
         lp_s = logp_for(warp(f))
         red = jax.scipy.special.logsumexp(log_w[:, None, None] + lp_s, axis=0)
+        if not reduce:
+            return red - 0.5 * math.log(math.pi)
         return jnp.sum(red, axis=-1) - 0.5 * MB * math.log(math.pi)
 
     if lik.kind in ("bernoulli", "categorical"):
@@ -623,7 +624,7 @@ def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
         ll = jnp.log(jnp.clip(
             jnp.take_along_axis(probs, Y.reshape(-1, 1).astype(jnp.int32), axis=1)[:, 0],
             eps, 1.0))
-        return jnp.sum(ll)[None]
+        return jnp.sum(ll)[None] if reduce else ll[None]
 
     raise NotImplementedError(lik.kind)
 
