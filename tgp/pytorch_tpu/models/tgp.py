@@ -526,17 +526,36 @@ def predictive_distribution(spec: TGPSpec, params, X, *, S_MC: int = 1,
         return m1, m2, mu, var
 
     if lik.kind == "bernoulli":
-        warp = _make_warp(spec, params, X3, rng, stochastic=fully_bayesian)
-        p1 = bernoulli_moments(lik, lp, mu, var, warp, identity_flow=not spec.has_flow)
+        if fully_bayesian and spec.has_stochastic_flow:
+            # average class probabilities over S_MC dropout draws
+            # (reference: sparse_MF_SP.py:521-525)
+            if rng is None:
+                raise ValueError("fully-Bayesian prediction requires an rng")
+            def one(r):
+                warp = _make_warp(spec, params, X3, r, stochastic=True)
+                return bernoulli_moments(lik, lp, mu, var, warp,
+                                         identity_flow=not spec.has_flow)
+            p1 = jnp.mean(jax.vmap(one)(jax.random.split(rng, S_MC)), axis=0)
+        else:
+            warp = _make_warp(spec, params, X3, rng, stochastic=False)
+            p1 = bernoulli_moments(lik, lp, mu, var, warp,
+                                   identity_flow=not spec.has_flow)
         probs = jnp.stack([1.0 - p1, p1], axis=-1)  # (MB, 2)
         return probs, None, mu, var
 
     if lik.kind == "categorical":
         if rng is None:
             raise ValueError("categorical prediction requires an rng")
-        warp = _make_warp(spec, params, X3, rng, stochastic=fully_bayesian)
-        rng, sub = jax.random.split(rng)
-        probs = categorical_moments(lik, lp, mu, var, warp, sub)  # (MB, C)
+        if fully_bayesian and spec.has_stochastic_flow:
+            def one(r):
+                r1, r2 = jax.random.split(r)
+                warp = _make_warp(spec, params, X3, r1, stochastic=True)
+                return categorical_moments(lik, lp, mu, var, warp, r2)
+            probs = jnp.mean(jax.vmap(one)(jax.random.split(rng, S_MC)), axis=0)
+        else:
+            rng, sub = jax.random.split(rng)
+            warp = _make_warp(spec, params, X3, rng, stochastic=False)
+            probs = categorical_moments(lik, lp, mu, var, warp, sub)  # (MB, C)
         return probs, None, mu, var
 
     raise NotImplementedError(lik.kind)

@@ -214,6 +214,15 @@ class Trainer:
         the reference (trainer_base.py:250-299): percentages of `epochs`
         per phase; each phase's specification is a list of [lr(,wd),name]
         entries (None = all parameters at lr_ALL).
+
+        Deliberate difference from the reference's `keep_parameter_groups`:
+        optimizer moments reset at phase boundaries (each phase compiles its
+        own optax program).  The reference instead appends parameter groups
+        to a live torch optimizer (trainer_base.py:271-318), carrying Adam
+        state across phases for pre-existing groups.  For the paper
+        protocols (single phase, or hold-kernel phase 1 where the held
+        params have no moments yet) the observable difference is second-
+        order; revisit if cross-phase moment carry ever matters.
         """
         if optimisation_schedule is None:
             optimisation_schedule = ([1.0], [None])
@@ -326,13 +335,14 @@ class Trainer:
     @partial(jax.jit, static_argnums=(0, 4, 5))
     def _eval_batch(self, params, X, Y, S_MC, fully_bayesian, Y_std, rng):
         spec = self.spec
+        r1, r2, r3 = jax.random.split(rng, 3)
         log_p = tgp_mod.test_log_likelihood(
             spec, params, X, Y, Y_std, S_MC=S_MC,
-            fully_bayesian=fully_bayesian, rng=rng)
+            fully_bayesian=fully_bayesian, rng=r1)
         m1, m2, _, _ = tgp_mod.predictive_distribution(
-            spec, params, X, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=rng)
+            spec, params, X, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=r2)
         samples, _, _ = tgp_mod.sample_predictive(
-            spec, params, X, self.S_test, rng, fully_bayesian=fully_bayesian)
+            spec, params, X, self.S_test, r3, fully_bayesian=fully_bayesian)
         return log_p, m1, samples
 
     def _metrics_for_loader(self, loader):
