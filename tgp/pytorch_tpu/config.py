@@ -64,10 +64,12 @@ def set_precision(mode: str) -> None:
     jax.config.update("jax_enable_x64", mode == "fp64")
     # On TPU, XLA's DEFAULT matmul precision runs fp32 contractions as bf16
     # passes — that wrecks the near-singular K_zz Cholesky and NaNs training.
-    # fp32/fp64 modes force true fp32 accumulation ('highest'); the bf16 mode
-    # opts back into fast passes explicitly (statistics stay fp32).
-    jax.config.update("jax_default_matmul_precision",
-                      "bfloat16" if mode == "bf16" else "highest")
+    # ALL modes therefore force true fp32 accumulation ('highest') for the
+    # solver path; 'bf16' opts the *Gram cross-terms only* into bfloat16
+    # inputs (see ops/kernels.py::_sq_dist via matmul_dtype) — the one place
+    # where reduced precision is safe (the jitter ladder absorbs the extra
+    # rounding) and where the MXU fast path pays.
+    jax.config.update("jax_default_matmul_precision", "highest")
     quad_points = 100
 
 
