@@ -100,10 +100,25 @@ def load_uci_split(name: str, seed: int, use_validation=None,
 
     split_file = _asset_path(
         spec.task, "splits_idx_" + spec.name.split(".")[0] + ".pkl")
-    with open(split_file, "rb") as f:
-        split_dict = pickle.load(f)
-    tr_idx = split_dict[f"seed_{seed}"]["train"]
-    te_idx = split_dict[f"seed_{seed}"]["test"]
+    if os.path.exists(split_file):
+        with open(split_file, "rb") as f:
+            split_dict = pickle.load(f)
+        tr_idx = split_dict[f"seed_{seed}"]["train"]
+        te_idx = split_dict[f"seed_{seed}"]["test"]
+    else:
+        # no committed pickle for this corpus (upstream ships none for
+        # protein either): regenerate with the reference's seeded legacy
+        # shuffle (uci_datasets.py:99-105 + data.py:184-214 —
+        # np.random.seed(seed); shuffle rows; first 90% train)
+        shuffled = data.copy()
+        np.random.seed(seed)
+        np.random.shuffle(shuffled)
+        n_tr = int(shuffled.shape[0] * 0.9)
+        # operate on the shuffled array directly via index remapping
+        order = None
+        data = shuffled
+        tr_idx = np.arange(n_tr)
+        te_idx = np.arange(n_tr, shuffled.shape[0])
 
     idx = spec.target_index
     X_tr, Y_tr = data[tr_idx][:, :idx], data[tr_idx][:, idx:idx + 1 or None]
