@@ -1,0 +1,100 @@
+"""Airline-scale minibatch-SVI benchmark (BASELINE.json config 5).
+
+Runs TGP minibatch SVI on an airline-shaped dataset (2M rows x 8 features,
+synthetic when the real corpus is absent — zero-egress environments can't
+download the 2008 flights data), with the device-resident epoch-scan path:
+the full dataset lives in HBM (~70 MB) and one epoch (200+ optimizer steps)
+executes as a single device program.
+
+    python benchmarks/airline_scale.py [--rows 2000000] [--M 500] [--epochs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=2_000_000)
+    p.add_argument("--M", type=int, default=500)
+    p.add_argument("--batch", type=int, default=10000)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from tgp.pytorch_tpu import config as cfg
+    cfg.set_precision("fp32")
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.data import kmeans_centers
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.train import Trainer
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+
+    # real corpus if present, else airline-shaped synthetic
+    try:
+        from tgp.pytorch_tpu.data.large import load_airline
+        split = load_airline(seed=1)
+        X, Y = split["X_tr"], split["Y_tr"]
+        src = "airline.csv"
+    except FileNotFoundError:
+        rng = np.random.RandomState(0)
+        X = rng.randn(args.rows, 8)
+        f = np.sin(X[:, :1]) + 0.3 * X[:, 1:2] * X[:, 2:3]
+        Y = f + 0.3 * rng.randn(args.rows, 1)
+        src = "synthetic"
+    X = np.asarray(X, np.float32)
+    Y = np.asarray(Y, np.float32)
+    N = X.shape[0]
+
+    Z0 = kmeans_centers(X[:200000], args.M, n_init=1)
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(2))
+    spec = M.TGPSpec(Dy=1, Dx=X.shape[1], M=args.M, N=float(N),
+                     kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("gaussian_flow", 1, quad_points=100),
+                     flow=fspec, min_var=1e-8, remat=False)
+    params = M.init_tgp_params(spec, X[:10000], Z0, variance_scale=1e-5,
+                               kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+                               flow_inits=finits)
+
+    loaders = [DataLoader(ArrayDataset(X, Y), args.batch, seed=0),
+               DataLoader(ArrayDataset(X[:50000], Y[:50000]), args.batch,
+                          shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(1), S_test=20)
+    steps_per_epoch = N // args.batch
+
+    t0 = time.time()
+    tr.train(1, 0.01, "adam", verbose_each=0)   # includes compile
+    compile_epoch = time.time() - t0
+    t0 = time.time()
+    tr.train(args.epochs, 0.01, "adam", verbose_each=0)
+    dt = time.time() - t0
+    sps = args.epochs * steps_per_epoch / dt
+    elbo = float(tr.loss_curve[-1])
+    print(json.dumps({
+        "source": src, "rows": N, "M": args.M, "batch": args.batch,
+        "steps_per_sec": round(sps, 1),
+        "rows_per_sec": round(sps * args.batch, 0),
+        "epoch_sec": round(dt / args.epochs, 2),
+        "first_epoch_incl_compile_sec": round(compile_epoch, 1),
+        "final_elbo": elbo,
+    }))
+
+
+if __name__ == "__main__":
+    main()
