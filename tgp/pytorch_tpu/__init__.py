@@ -25,3 +25,25 @@ from . import config
 from .config import set_precision, default_dtype
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax-heavy modules on package
+    import): TGPSpec, TGP, svgp_spec, init_tgp_params, Trainer, Predictor,
+    return_dataset, kmeans_centers."""
+    if name in ("TGPSpec", "TGP", "svgp_spec", "init_tgp_params"):
+        from .models import tgp as _tgp
+        return getattr(_tgp, name)
+    if name == "Trainer":
+        from .train.trainer import Trainer
+        return Trainer
+    if name == "Predictor":
+        from .serve import Predictor
+        return Predictor
+    if name in ("return_dataset", "kmeans_centers"):
+        from . import data as _data
+        return getattr(_data, name)
+    if name == "LikelihoodSpec":
+        from .likelihoods.gaussian import LikelihoodSpec
+        return LikelihoodSpec
+    raise AttributeError(name)

@@ -21,8 +21,6 @@ hypernetworks (MC-dropout or mean-field-Gaussian VI), see hypernet.py.
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
