@@ -7,8 +7,6 @@ the experiment layer consumes (X_tr, N_tr, Dx, Dy, Y_std, ...).
 
 from __future__ import annotations
 
-import numpy as np
-
 from .batching import ArrayDataset, DataLoader
 from .uci import UCI_TABLE, load_uci_split
 from .uci_classification import CLASSIFICATION_LOADERS, NUM_CLASSES

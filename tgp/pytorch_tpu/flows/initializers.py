@@ -14,7 +14,6 @@ reference: code/dsp/initializers/initializers.py —
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

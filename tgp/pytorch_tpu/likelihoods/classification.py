@@ -13,7 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .. import config as cfg
 from ..ops.quadrature import GaussHermite
 from .gaussian import LikelihoodSpec
 

@@ -16,7 +16,7 @@ from ..ops import kernels as kernels_mod
 from ..ops.linalg import safe_cholesky
 from .means import mean_apply, projection_matrix
 from . import tgp as tgp_mod
-from .tgp import TGPSpec, _expand, _expand_tree, _ensure_3d
+from .tgp import TGPSpec, _expand_tree, _ensure_3d
 
 
 def confidence_intervals(spec: TGPSpec, params, X, intervals, S: int, rng,

@@ -24,7 +24,6 @@ documents why no sequence/ring machinery is needed).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

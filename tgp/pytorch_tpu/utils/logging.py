@@ -9,7 +9,6 @@ ELBO-curve export for plotting.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 
