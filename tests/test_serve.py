@@ -55,6 +55,18 @@ def test_predictor_log_prob_matches_model():
     np.testing.assert_allclose(np.asarray(lp), np.asarray(ref), rtol=1e-6)
 
 
+def test_predictor_classification_probs():
+    rng = np.random.RandomState(0)
+    X = rng.randn(30, 2)
+    spec = M.TGPSpec(Dy=1, Dx=2, M=5, N=30.0, kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("bernoulli", 1, quad_points=16))
+    params = M.init_tgp_params(spec, X, X[:5])
+    pred = Predictor(spec, params, buckets=(16,))
+    out = pred.predict(X[:9])
+    assert out["probs"].shape == (9, 2)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, atol=1e-6)
+
+
 def test_reduce_false_per_point_logp():
     spec, params, X = _model(flow=G.SAL(1))
     rng = np.random.RandomState(1)

@@ -108,12 +108,12 @@ class Predictor:
         Xp, n = self._pad(X)
         S_MC = self.S_MC if self.fully_bayesian else 1
         m1, m2, _, _ = self._moments(self.params, Xp, S_MC, self._next_rng())
-        m1 = np.asarray(m1)[..., :n]
         out = {}
         ystd, ymean = self.Y_std[:, None], self.Y_mean[:, None]
-        if m2 is None:  # classification: m1 are probabilities (n, C)
-            out["probs"] = np.asarray(m1.T if m1.ndim == 2 else m1)[:n]
+        if m2 is None:  # classification: m1 are probabilities, shape (MB, C)
+            out["probs"] = np.asarray(m1)[:n]
             return out
+        m1 = np.asarray(m1)[..., :n]       # regression: (Dy, MB) -> trim batch
         m2 = np.asarray(m2)[..., :n]
         out["mean"] = m1 * ystd + ymean
         out["var"] = m2 * ystd ** 2
