@@ -249,6 +249,10 @@ def _maybe_pos(x, flag):
     return softplus(x) if flag else x
 
 
+def _pow_eps(dtype):
+    return 1e-12 if jnp.dtype(dtype) == jnp.float32 else 1e-100
+
+
 def _boxcox_lam(step: FlowStep, lam):
     if step.constraint == "sigmoid2":
         # lam in (0.01, 2.01): used by some generator configs
@@ -325,13 +329,18 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
     if k == "boxcox":
         lam = _boxcox_lam(step, params["lam"])
         sgn = jnp.sign(f)
-        fk = (sgn * jnp.power(sgn * f, lam) - 1.0) / lam
+        # |f| floor: d/dlam |f|^lam = |f|^lam log|f| is 0*(-inf)=NaN when
+        # |f| underflows to 0 (fp32 quadrature grids do hit exact zeros);
+        # the floor keeps the gradient an exact 0 there.
+        pos = jnp.maximum(sgn * f, _pow_eps(f.dtype))
+        fk = (sgn * jnp.power(pos, lam) - 1.0) / lam
         return fk + f if step.add_init_f0 else fk
     if k == "inverseboxcox":
         lam = _boxcox_lam(step, params["lam"])
         aux = lam * f + 1.0
         sgn = jnp.sign(aux)
-        fk = sgn * jnp.power(sgn * aux, 1.0 / lam)
+        pos = jnp.maximum(sgn * aux, _pow_eps(f.dtype))
+        fk = sgn * jnp.power(pos, 1.0 / lam)
         return fk + f if step.add_init_f0 else fk
     if k in ("tukey_left", "tukey_right"):
         g = softplus(params["g"])
