@@ -258,6 +258,14 @@ def _boxcox_lam(step: FlowStep, lam):
         # lam in (0.01, 2.01): used by some generator configs
         # (reference: code/dsp/flows.py:540-543)
         return 2.0 * jax.nn.sigmoid(lam) + 0.01
+    if step.constraint == "sigmoid_ref":
+        # lam = 2*sigmoid(0.3*raw - 1.5) + 0.05, in (0.05, 2.05): the
+        # reference's documented Box-Cox constraint under which the default
+        # raw init 5.0 maps to lam ~= 1.05 ~= identity (code/dsp/flows.py:
+        # 150-155 — "if applied the constraint below makes the flow the
+        # identity").  Unconstrained lam=5 composed over blocks is
+        # divergent by construction (|f|^5 chains), in any precision.
+        return 2.0 * jax.nn.sigmoid(0.3 * lam - 1.5) + 0.05
     return jnp.where(lam == 0.0, lam + 1e-11, lam)
 
 

@@ -68,8 +68,16 @@ def SAL(num_blocks, **kwargs):
 
 
 def BoxCoxL(num_blocks, **kwargs):
-    """boxcox + affine. reference: code/dsp/flows.py:140-163."""
+    """boxcox + affine. reference: code/dsp/flows.py:140-163.
+
+    Default constraint 'sigmoid_ref' bounds lam to (0.05, 2.05) so the
+    default raw init 5.0 is the identity; the unconstrained variant is
+    available via constraint=None... the reference's comments document the
+    same constraint (flows.py:150-155) without which lam=5 chains diverge.
+    """
     set_res, addf0, init_random, constraint = _common(kwargs)
+    if 'constraint' not in kwargs:
+        constraint = 'sigmoid_ref' 
     blocks = []
     for _ in range(num_blocks):
         if init_random:
@@ -87,8 +95,11 @@ def BoxCoxL(num_blocks, **kwargs):
 
 
 def InverseBoxCoxL(num_blocks, **kwargs):
-    """inverse boxcox + affine. reference: code/dsp/flows.py:167-189."""
+    """inverse boxcox + affine. reference: code/dsp/flows.py:167-189.
+    Default constraint as BoxCoxL."""
     set_res, addf0, init_random, constraint = _common(kwargs)
+    if 'constraint' not in kwargs:
+        constraint = 'sigmoid_ref' 
     blocks = []
     for _ in range(num_blocks):
         if init_random:
@@ -273,8 +284,9 @@ def StepAllL(num_blocks, **kwargs):
 
 
 def build_chain(flow_combination, num_blocks, **kwargs):
-    """Chains of combined flows. reference: code/dsp/flows.py:71-109."""
-    constraint = kwargs.get("constraint")
+    """Chains of combined flows. reference: code/dsp/flows.py:71-109.
+    Box-Cox members default to the bounded 'sigmoid_ref' constraint."""
+    constraint = kwargs.get("constraint", "sigmoid_ref")
     table = {
         "SAL_BCL": lambda: SAL(1) + BoxCoxL(1, constraint=constraint),
         "SAL_InvBCL": lambda: SAL(1) + InverseBoxCoxL(1, constraint=constraint),
