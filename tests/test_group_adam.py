@@ -1,0 +1,83 @@
+"""Grouped Adam with cross-phase state carry vs torch semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tgp.pytorch_tpu.train import group_adam as GA
+
+
+def test_matches_torch_adam_single_group():
+    torch = pytest.importorskip("torch")
+    torch.set_default_dtype(torch.float64)
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(4)
+    grads = [rng.randn(4) for _ in range(12)]
+
+    # torch
+    wt = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.Adam([wt], lr=0.05, weight_decay=0.1)
+    for g in grads:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+    # ours
+    params = {"w": jnp.asarray(w0)}
+    state = GA.init_state(params)
+    lr_t = {"w": 0.05}
+    wd_t = {"w": 0.1}
+    act_t = {"w": True}
+    p = params
+    for g in grads:
+        upd, state = GA.update({"w": jnp.asarray(g)}, state, p, lr_t, wd_t, act_t)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]), wt.detach().numpy(), rtol=1e-10)
+
+
+def test_phase_carry_matches_torch_add_param_group():
+    torch = pytest.importorskip("torch")
+    torch.set_default_dtype(torch.float64)
+    rng = np.random.RandomState(1)
+    a0, b0 = rng.randn(3), rng.randn(3)
+    gs = [(rng.randn(3), rng.randn(3)) for _ in range(10)]
+
+    # torch: train a for 5 steps, then add b as a new group
+    at = torch.tensor(a0, requires_grad=True)
+    bt = torch.tensor(b0, requires_grad=True)
+    opt = torch.optim.Adam([at], lr=0.05)
+    for ga, gb in gs[:5]:
+        opt.zero_grad()
+        at.grad = torch.tensor(ga)
+        opt.step()
+    opt.add_param_group({"params": [bt], "lr": 0.02})
+    for ga, gb in gs[5:]:
+        opt.zero_grad()
+        at.grad = torch.tensor(ga)
+        bt.grad = torch.tensor(gb)
+        opt.step()
+
+    # ours: same via annotation swap, ONE persistent state
+    params = {"a": jnp.asarray(a0), "b": jnp.asarray(b0)}
+    state = GA.init_state(params)
+    lr1, wd1, act1 = {"a": 0.05, "b": 0.0}, {"a": 0.0, "b": 0.0}, {"a": True, "b": False}
+    lr2, wd2, act2 = {"a": 0.05, "b": 0.02}, {"a": 0.0, "b": 0.0}, {"a": True, "b": True}
+    p = params
+    for i, (ga, gb) in enumerate(gs):
+        lr, wd, act = (lr1, wd1, act1) if i < 5 else (lr2, wd2, act2)
+        upd, state = GA.update({"a": jnp.asarray(ga), "b": jnp.asarray(gb)},
+                               state, p, lr, wd, act)
+        p = jax.tree_util.tree_map(lambda x, u: x + u, p, upd)
+    np.testing.assert_allclose(np.asarray(p["a"]), at.detach().numpy(), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p["b"]), bt.detach().numpy(), rtol=1e-10)
+
+
+def test_annotations_from_specs():
+    params = {"kernel": {"ls": jnp.zeros(2)}, "q_mu": jnp.zeros(3),
+              "flow": [{"a": jnp.zeros(())}]}
+    lr, wd, act = GA.annotations_from_specs(
+        params, [[0.0, "kernel"], [0.05, 1e-4, "flow"]], 0.01)
+    assert act["kernel"]["ls"] is False
+    assert lr["flow"][0]["a"] == 0.05 and wd["flow"][0]["a"] == 1e-4
+    assert lr["q_mu"] == 0.01 and act["q_mu"] is True

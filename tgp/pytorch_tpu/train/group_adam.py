@@ -1,0 +1,115 @@
+"""Per-leaf grouped Adam with torch `add_param_group` semantics.
+
+The reference keeps one live torch optimizer across schedule phases and
+train() calls (`keep_parameter_groups`, trainer_base.py:271-318): a
+parameter added in a later phase starts with fresh Adam moments and its own
+step count, while pre-existing groups keep theirs.  optax.multi_transform
+can't express that (its state is partitioned by a fixed label pytree), so
+this module implements Adam directly over full-shaped moment pytrees with
+per-leaf (lr, weight_decay, active) annotations:
+
+  * inactive leaves (frozen / lr=0 / not yet added): no update, no moment
+    accumulation, count frozen — exactly "not in the optimizer",
+  * weight decay is torch-style L2 added to the gradient before moments,
+  * bias correction uses the per-leaf count (steps since activation).
+
+Phase changes just swap the annotation pytrees; the state carries over.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GroupAdamState(NamedTuple):
+    count: object  # pytree of int32 scalars (per leaf)
+    mu: object
+    nu: object
+
+
+def init_state(params) -> GroupAdamState:
+    zeros = lambda x: jnp.zeros_like(x)
+    return GroupAdamState(
+        count=jax.tree_util.tree_map(lambda _: jnp.zeros((), jnp.int32), params),
+        mu=jax.tree_util.tree_map(zeros, params),
+        nu=jax.tree_util.tree_map(zeros, params),
+    )
+
+
+def update(grads, state: GroupAdamState, params, lr_tree, wd_tree, active_tree,
+           b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """One Adam step.  lr/wd are per-leaf scalars; active is per-leaf bool.
+
+    Returns (updates, new_state): apply with optax.apply_updates.
+    """
+
+    def leaf(g, p, mu, nu, cnt, lr, wd, active):
+        g = g + wd * p                       # torch L2-into-grad
+        new_cnt = jnp.where(active, cnt + 1, cnt)
+        new_mu = jnp.where(active, b1 * mu + (1 - b1) * g, mu)
+        new_nu = jnp.where(active, b2 * nu + (1 - b2) * jnp.square(g), nu)
+        t = jnp.maximum(new_cnt, 1).astype(p.dtype)
+        mu_hat = new_mu / (1 - b1 ** t)
+        nu_hat = new_nu / (1 - b2 ** t)
+        upd = jnp.where(active, -lr * mu_hat / (jnp.sqrt(nu_hat) + eps), 0.0)
+        return upd.astype(p.dtype), new_mu, new_nu, new_cnt
+
+    flat_g, treedef = jax.tree_util.tree_flatten(grads)
+    flat_p = treedef.flatten_up_to(params)
+    flat_mu = treedef.flatten_up_to(state.mu)
+    flat_nu = treedef.flatten_up_to(state.nu)
+    flat_cnt = treedef.flatten_up_to(state.count)
+    flat_lr = treedef.flatten_up_to(lr_tree)
+    flat_wd = treedef.flatten_up_to(wd_tree)
+    flat_act = treedef.flatten_up_to(active_tree)
+
+    outs = [leaf(g, p, mu, nu, cnt, lr, wd, act)
+            for g, p, mu, nu, cnt, lr, wd, act in
+            zip(flat_g, flat_p, flat_mu, flat_nu, flat_cnt, flat_lr, flat_wd,
+                flat_act)]
+    updates = treedef.unflatten([o[0] for o in outs])
+    new_state = GroupAdamState(
+        count=treedef.unflatten([o[3] for o in outs]),
+        mu=treedef.unflatten([o[1] for o in outs]),
+        nu=treedef.unflatten([o[2] for o in outs]),
+    )
+    return updates, new_state
+
+
+def annotations_from_specs(params, specs, global_lr, frozen_labels=None):
+    """Build (lr_tree, wd_tree, active_tree) from reference-style specs
+    ([lr(,wd),name] substring entries; lr=0 or frozen -> inactive)."""
+    from .optimizers import param_paths
+
+    parsed = []
+    for s in specs or []:
+        if len(s) == 3:
+            lr, wd, name = s
+        else:
+            (lr, name), wd = s, 0.0
+        parsed.append((float(lr), float(wd), str(name)))
+
+    paths = param_paths(params)
+
+    def annotate(path, frozen):
+        if frozen:
+            return (0.0, 0.0, False)
+        for lr, wd, name in parsed:
+            if name in path:
+                return (lr, wd, lr != 0.0)
+        return (float(global_lr), 0.0, True)
+
+    if frozen_labels is None:
+        ann = jax.tree_util.tree_map(lambda p: annotate(p, False), paths)
+    else:
+        ann = jax.tree_util.tree_map(annotate, paths, frozen_labels)
+    lr_tree = jax.tree_util.tree_map(lambda a: a[0], ann,
+                                     is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3 and isinstance(x[2], bool))
+    wd_tree = jax.tree_util.tree_map(lambda a: a[1], ann,
+                                     is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3 and isinstance(x[2], bool))
+    act_tree = jax.tree_util.tree_map(lambda a: a[2], ann,
+                                      is_leaf=lambda x: isinstance(x, tuple) and len(x) == 3 and isinstance(x[2], bool))
+    return lr_tree, wd_tree, act_tree

@@ -235,8 +235,7 @@ class Trainer:
                       and self.validate_each > epochs)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
-            optimizer, _ = build_grouped_optimizer(
-                self.params, specs, lr_ALL, opt, frozen_labels=frozen)
+            optimizer = self._build_phase_optimizer(specs, lr_ALL, opt, frozen)
             opt_state = optimizer.init(self.params)
 
             if full_batch:
@@ -262,6 +261,7 @@ class Trainer:
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
                               f"({(time.time() - t0) / done * 1e3:.2f}ms/ep)")
+                self._opt_state_carry = opt_state
                 continue
 
             ds = self.train_loader.dataset
@@ -301,6 +301,7 @@ class Trainer:
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
                               f"({(time.time() - t0) / (ep + 1) * 1e3:.2f}ms/ep)")
+                self._opt_state_carry = opt_state
                 continue
 
             step_fn = self._make_train_step(optimizer)
@@ -326,7 +327,43 @@ class Trainer:
                 if self.validate_each and (ep_done % self.validate_each == 0):
                     m = self.compute_metrics()
                     print(f"|   eval @ {ep_done}: {m}")
+            self._opt_state_carry = opt_state
         return self
+
+    def _build_phase_optimizer(self, specs, lr_ALL, opt, frozen):
+        """Per-phase optimizer.
+
+        'adam' (the reference's default everywhere) uses the per-leaf
+        grouped Adam whose moment/count state carries across phases and
+        train() calls — torch `add_param_group` semantics
+        (reference trainer_base.py:271-318 `keep_parameter_groups`); a
+        parameter first activated in a later phase starts with fresh
+        moments.  Other optimizers use the optax multi_transform path
+        (state resets per phase).
+        """
+        if opt == "adam":
+            from . import group_adam as GA
+            import optax as _optax
+
+            lr_t, wd_t, act_t = GA.annotations_from_specs(
+                self.params, specs, lr_ALL, frozen_labels=frozen)
+            carried = getattr(self, "_opt_state_carry", None)
+            carry_ok = (carried is not None
+                        and isinstance(carried, GA.GroupAdamState))
+
+            def init_fn(params):
+                if carry_ok:
+                    return carried
+                return GA.init_state(params)
+
+            def update_fn(grads, state, params=None):
+                return GA.update(grads, state, params, lr_t, wd_t, act_t)
+
+            return _optax.GradientTransformation(init_fn, update_fn)
+
+        optimizer, _ = build_grouped_optimizer(
+            self.params, specs, lr_ALL, opt, frozen_labels=frozen)
+        return optimizer
 
     # ------------------------------------------------------------------
     # Evaluation (reference: trainers_regression.py:108-225)
