@@ -231,8 +231,10 @@ class Trainer:
 
         frozen = frozen_param_labels(self.spec, self.params)
         ep_done = 0
-        full_batch = (len(self.train_loader) == 1 and self.track_fn is None
-                      and self.validate_each > epochs)
+        # periodic validation works with the scan path by aligning chunk
+        # boundaries to validate_each
+        ve = self.validate_each if self.validate_each else 10 ** 18
+        full_batch = (len(self.train_loader) == 1 and self.track_fn is None)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
             optimizer = self._build_phase_optimizer(specs, lr_ALL, opt, frozen)
@@ -244,11 +246,12 @@ class Trainer:
                 X, Y = next(iter(self.train_loader))
                 Xd = jnp.asarray(X, cfg.default_dtype())
                 Yd = jnp.asarray(Y, cfg.default_dtype())
-                chunk = int(min(phase_epochs, 2000))
+                chunk = int(min(phase_epochs, 2000, ve))
                 done = 0
                 t0 = time.time()
                 while done < phase_epochs:
-                    n = min(chunk, phase_epochs - done)
+                    n = min(chunk, phase_epochs - done,
+                            ve - (ep_done % ve) if ve <= epochs else chunk)
                     self.params, opt_state, curves = run_steps(
                         self.params, opt_state, Xd, Yd, self._next_rng(), n)
                     done += n
@@ -261,13 +264,14 @@ class Trainer:
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
                               f"({(time.time() - t0) / done * 1e3:.2f}ms/ep)")
+                    if ve <= epochs and ep_done % ve == 0:
+                        print(f"|   eval @ {ep_done}: {self.compute_metrics()}")
                 self._opt_state_carry = opt_state
                 continue
 
             ds = self.train_loader.dataset
             n_bytes = (ds.X.nbytes + ds.Y.nbytes)
             device_resident = (self.track_fn is None
-                               and self.validate_each > epochs
                                and n_bytes <= self.DEVICE_RESIDENT_BYTES)
             if device_resident:
                 MB = self.train_loader.batch_size
@@ -301,6 +305,8 @@ class Trainer:
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
                               f"({(time.time() - t0) / (ep + 1) * 1e3:.2f}ms/ep)")
+                    if ve <= epochs and ep_done % ve == 0:
+                        print(f"|   eval @ {ep_done}: {self.compute_metrics()}")
                 self._opt_state_carry = opt_state
                 continue
 
