@@ -337,18 +337,22 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
     if k == "boxcox":
         lam = _boxcox_lam(step, params["lam"])
         sgn = jnp.sign(f)
-        # |f| floor: d/dlam |f|^lam = |f|^lam log|f| is 0*(-inf)=NaN when
-        # |f| underflows to 0 (fp32 quadrature grids do hit exact zeros);
-        # the floor keeps the gradient an exact 0 there.
+        # signed power in log space: exp(lam * log|f|) through safe_exp.
+        # Two fp32 hazards this kills: (a) |f| underflowing to 0 makes
+        # d/dlam = |f|^lam log|f| a 0*(-inf) NaN (floor at _pow_eps);
+        # (b) the power overflowing to inf upstream of a clip poisons the
+        # VJP with 0*inf (safe_exp caps the argument instead).
         pos = jnp.maximum(sgn * f, _pow_eps(f.dtype))
-        fk = (sgn * jnp.power(pos, lam) - 1.0) / lam
+        fk = (sgn * safe_exp(lam * jnp.log(pos)) - 1.0) / lam
         return fk + f if step.add_init_f0 else fk
     if k == "inverseboxcox":
         lam = _boxcox_lam(step, params["lam"])
         aux = lam * f + 1.0
         sgn = jnp.sign(aux)
         pos = jnp.maximum(sgn * aux, _pow_eps(f.dtype))
-        fk = sgn * jnp.power(pos, 1.0 / lam)
+        # exponent 1/lam reaches ~20 under the bounded constraint — the
+        # log-space form keeps the explosive branch finite and NaN-free.
+        fk = sgn * safe_exp(jnp.log(pos) / lam)
         return fk + f if step.add_init_f0 else fk
     if k in ("tukey_left", "tukey_right"):
         g = softplus(params["g"])
