@@ -69,7 +69,8 @@ def run(kind: str, epochs: int):
     tr = Trainer(spec, params, loaders, Y_std=np.ones(1), S_test=50)
     hold = min(2000, epochs // 3)
     sched = ([hold / epochs, 1 - hold / epochs], [[[0.0, "kernel"]], None])
-    tr.train(epochs, 0.01, "adam", optimisation_schedule=sched, verbose_each=0)
+    tr.train(epochs, 0.01, "adam", optimisation_schedule=sched, verbose_each=0,
+             clip_norm=100.0)
     m = tr.compute_metrics()["test"]
     return {"task": kind, "classes": C, "epochs": epochs,
             "test_acc": round(float(m["acc"]), 4),

@@ -206,7 +206,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self, epochs: int, lr_ALL: float, opt: str = "adam",
-              optimisation_schedule=None, verbose_each: int = 100):
+              optimisation_schedule=None, verbose_each: int = 100,
+              clip_norm: float | None = None):
         """Run the optimisation loop.
 
         optimisation_schedule = (percentages, specifications) exactly like
@@ -237,7 +238,8 @@ class Trainer:
         full_batch = (len(self.train_loader) == 1 and self.track_fn is None)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
-            optimizer = self._build_phase_optimizer(specs, lr_ALL, opt, frozen)
+            optimizer = self._build_phase_optimizer(specs, lr_ALL, opt, frozen,
+                                                    clip_norm)
             opt_state = optimizer.init(self.params)
 
             if full_batch:
@@ -336,7 +338,8 @@ class Trainer:
             self._opt_state_carry = opt_state
         return self
 
-    def _build_phase_optimizer(self, specs, lr_ALL, opt, frozen):
+    def _build_phase_optimizer(self, specs, lr_ALL, opt, frozen,
+                               clip_norm=None):
         """Per-phase optimizer.
 
         'adam' (the reference's default everywhere) uses the per-leaf
@@ -363,12 +366,23 @@ class Trainer:
                 return GA.init_state(params)
 
             def update_fn(grads, state, params=None):
+                if clip_norm is not None:
+                    # global-norm gradient clipping: flows with derivative
+                    # singularities (inverse-Box-Cox at its sign crossing)
+                    # emit rare huge spikes that would poison Adam moments
+                    gnorm = _optax.global_norm(grads)
+                    scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
+                    grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
                 return GA.update(grads, state, params, lr_t, wd_t, act_t)
 
             return _optax.GradientTransformation(init_fn, update_fn)
 
         optimizer, _ = build_grouped_optimizer(
             self.params, specs, lr_ALL, opt, frozen_labels=frozen)
+        if clip_norm is not None:
+            import optax as _optax
+            optimizer = _optax.chain(_optax.clip_by_global_norm(clip_norm),
+                                     optimizer)
         return optimizer
 
     # ------------------------------------------------------------------
