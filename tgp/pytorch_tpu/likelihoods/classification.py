@@ -32,10 +32,14 @@ def bernoulli_ell(spec: LikelihoodSpec, params, Y, mu, var, warp):
     var = jnp.maximum(var, 0.0)  # reference clamps tiny negatives (Bernoulli.py:77)
     f = gh.shifted_locations(mu, var)           # (S, 1, MB)
     fk = warp(f)
-    p = _norm_cdf(fk)
-    eps = 1e-12
-    p = jnp.clip(p, eps, 1.0 - eps)
-    bce = Y[None] * jnp.log(p) + (1.0 - Y[None]) * jnp.log1p(-p)
+    # exact log-CDF: log Phi(fk) via log_ndtr.  A clipped cdf is NOT safe in
+    # fp32: clip(p, ., 1-1e-12) rounds to exactly 1.0, log1p(-p) = -inf and
+    # the 0*(-inf) products NaN the gradient from step one (quadrature grids
+    # reach |fk| ~ 13 immediately).  The reference leans on torch BCELoss's
+    # internal log clamp instead (Bernoulli.py:36).
+    log_p = jax.scipy.special.log_ndtr(fk)
+    log_1mp = jax.scipy.special.log_ndtr(-fk)
+    bce = Y[None] * log_p + (1.0 - Y[None]) * log_1mp
     ell = gh.reduce(bce)                        # (1, MB)
     return jnp.sum(ell)
 
