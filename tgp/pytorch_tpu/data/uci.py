@@ -114,22 +114,17 @@ def load_uci_split(name: str, seed: int, use_validation=None,
         np.random.seed(seed)
         np.random.shuffle(shuffled)
         n_tr = int(shuffled.shape[0] * 0.9)
-        # operate on the shuffled array directly via index remapping
-        order = None
         data = shuffled
         tr_idx = np.arange(n_tr)
         te_idx = np.arange(n_tr, shuffled.shape[0])
 
-    idx = spec.target_index
-    X_tr, Y_tr = data[tr_idx][:, :idx], data[tr_idx][:, idx:idx + 1 or None]
-    X_te, Y_te = data[te_idx][:, :idx], data[te_idx][:, idx:idx + 1 or None]
     # target_index -1 means Y is the last column; -2 (energy) means the
     # second-to-last is regressed and the last is dropped entirely
     # (reference: uci_datasets.py:76, X = data[:, :index]).
-    if idx == -1:
-        Y_tr, Y_te = data[tr_idx][:, -1:], data[te_idx][:, -1:]
-    else:
-        Y_tr, Y_te = data[tr_idx][:, idx:idx + 1], data[te_idx][:, idx:idx + 1]
+    idx = spec.target_index
+    X_tr, X_te = data[tr_idx][:, :idx], data[te_idx][:, :idx]
+    Y_tr = data[tr_idx][:, idx:None if idx == -1 else idx + 1]
+    Y_te = data[te_idx][:, idx:None if idx == -1 else idx + 1]
 
     X_va = Y_va = None
     if use_validation is not None:
