@@ -1,0 +1,501 @@
+"""Faithful eager-PyTorch replica of the reference TGP training protocol.
+
+Purpose: produce the *measured* parity denominator for PARITY.md — final
+NLL/RMSE/coverage AND steps/sec of the reference algorithm run end-to-end
+(the reference itself needs gpytorch 1.1.1 + torch 1.5/1.7, neither
+installable here; this replica implements the identical math in plain
+torch, eager fp64, exactly as the reference executes it on a CPU host).
+
+Protocol replicated line-by-line from /root/reference:
+  - code/main.py:69-126          experiment constants (batch 10000, lr 0.01,
+                                 15000 epochs, obs noise 0.05, ls=ks=2.0,
+                                 q(U) var 1e-5 mean 0.0, whiten=True, fp64,
+                                 quad=100, S_test=100, kmeans n_init=10 seed 0)
+  - code/dsp/models/sparse_MF_SP.py:141-177   inducing + q(U) init
+  - code/dsp/models/sparse_MF_SP.py:274-396   whitened marginal q(f)
+  - code/dsp/models/sparse_MF_SP.py:398-431   whitened closed-form KL
+  - code/dsp/models/sparse_MF_SP.py:552-626   ELBO = ELL*N/MB - KLD
+  - code/dsp/likelihoods/GaussianLinearMean.py:60-118     closed-form ELL
+  - code/dsp/likelihoods/GaussianNonLinearMean.py:113-203 GH-quadrature ELL
+  - code/dsp/models/flow.py:310-361,936-996   affine + sinh_arcsinh flows
+  - code/dsp/flows.py:115-136    SAL generator (identity at init)
+  - code/dsp/trainers/trainer_base.py:322-361 training loop order
+  - code/dsp/models/sparse_MF_SP.py:637-825   test_log_likelihood (GH + LSE,
+                                 Y_std rescale)
+  - code/dsp/trainers/trainers_regression.py:108-225  metric accumulation
+  - code/dsp/utils.py:222-270    psd_safe_cholesky jitter ladder
+
+Run (background; hours for power M=100):
+  nohup python tools/torch_replica.py --model TGP --dataset power \
+      --split 1 --num_inducing 100 --epochs 15000 \
+      --out results_torch_replica.jsonl &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+from torch.nn.functional import softplus
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+torch.set_default_dtype(torch.float64)  # cg.set_maximum_precission()
+
+SQRT_PI = math.sqrt(math.pi)
+
+
+def inv_softplus(x):
+    # gpytorch.utils.transforms.inv_softplus
+    return torch.log(torch.expm1(torch.as_tensor(x, dtype=torch.float64)))
+
+
+def psd_safe_cholesky(A):
+    """reference utils.py:222-270: bare cholesky first, jitter ladder
+    1e-8*10^i (fp64) only on failure; returns (L, jittered A)."""
+    try:
+        L = torch.linalg.cholesky(A)
+        if torch.isnan(A).any():
+            raise RuntimeError("nan in input")
+        return L, A
+    except RuntimeError:
+        jitter = 1e-8
+        Aprime = A.clone()
+        jitter_prev = 0.0
+        for i in range(3):
+            jitter_new = jitter * (10 ** i)
+            Aprime.diagonal(dim1=-2, dim2=-1).add_(jitter_new - jitter_prev)
+            jitter_prev = jitter_new
+            try:
+                L = torch.linalg.cholesky(Aprime)
+                return L, Aprime
+            except RuntimeError:
+                continue
+        raise
+
+
+def batched_log_gaussian(obs, mean, cov):
+    """reference utils.py:164-195 (diagonal)."""
+    N = mean.size(-1)
+    cte = N * math.log(2 * math.pi)
+    log_det = torch.sum(torch.log(cov), -1)
+    inv_c = 1.0 / cov
+    exp_arg = ((obs * inv_c * obs).sum(-1) - 2 * (obs * inv_c * mean).sum(-1)
+               + (mean * inv_c * mean).sum(-1))
+    return -0.5 * (cte + log_det + exp_arg)
+
+
+## ===================== flows (flow.py:310-361, 936-996) ================== ##
+
+class AffineFlow(nn.Module):
+    def __init__(self, init_a=1.0, init_b=0.0, set_restrictions=False):
+        super().__init__()
+        self.a = nn.Parameter(torch.tensor(float(init_a)))
+        self.b = nn.Parameter(torch.tensor(float(init_b)))
+        self.set_restrictions = set_restrictions
+
+    def forward(self, f0, X=None):
+        a = softplus(self.a) if self.set_restrictions else self.a
+        return a * f0 + self.b
+
+
+class SinhArcsinhFlow(nn.Module):
+    """fk = sinh(b*asinh(f0) - a), flow.py:965.  Optional input-dependent
+    a,b via MLP hypernets with dropout (flow.py:836-887,936-961)."""
+
+    def __init__(self, init_a=0.0, init_b=1.0, set_restrictions=False,
+                 hyper=None):
+        super().__init__()
+        self.set_restrictions = set_restrictions
+        self.hyper = hyper
+        if hyper is None:
+            self.a = nn.Parameter(torch.tensor(float(init_a)))
+            self.b = nn.Parameter(torch.tensor(float(init_b)))
+        else:
+            din, H, L, p, act = hyper
+            self.NNets_a = make_mlp(din, H, L, p, act)
+            self.NNets_b = make_mlp(din, H, L, p, act)
+            # scalar anchors used only by the initializer (flow.py:794-815);
+            # turned off (excluded from the optimizer) afterwards.
+            self.anchor_a = torch.tensor(float(init_a))
+            self.anchor_b = torch.tensor(float(init_b))
+
+    def forward(self, f0, X=None):
+        if self.hyper is not None:
+            a = self.NNets_a(X).squeeze(-1)
+            b = self.NNets_b(X).squeeze(-1)
+        else:
+            a, b = self.a, self.b
+        if self.set_restrictions:
+            b = softplus(b)
+        return torch.sinh(b * torch.asinh(f0) - a)
+
+
+def make_mlp(din, hidden, n_hidden_layers, dropout, act):
+    """pytorchlib.apply_linear block stack used by the reference hypernets
+    (flow.py:660-694): [Linear->act->dropout] x n_hidden + Linear(H,1)."""
+    acts = {"relu": nn.ReLU, "tanh": nn.Tanh}
+    layers, d = [], din
+    for _ in range(n_hidden_layers):
+        layers += [nn.Linear(d, hidden), acts[act](), nn.Dropout(dropout)]
+        d = hidden
+    layers.append(nn.Linear(d, 1))
+    return nn.Sequential(*layers)
+
+
+class CompositeFlow(nn.Module):
+    def __init__(self, flows):
+        super().__init__()
+        self.flows = nn.ModuleList(flows)
+
+    def forward(self, f, X=None):
+        for fl in self.flows:
+            f = fl(f, X)
+        return f
+
+
+def sal_flow(num_blocks, hyper=None):
+    """flows.py:115-136: identity at init (sal a=0,b=1; affine a=1,b=0)."""
+    flows = []
+    for _ in range(num_blocks):
+        flows.append(SinhArcsinhFlow(0.0, 1.0, False, hyper=hyper))
+        flows.append(AffineFlow(1.0, 0.0, False))
+    return CompositeFlow(flows)
+
+
+## ===================== model ============================================ ##
+
+class SparseTGP(nn.Module):
+    """Dy=1 whitened sparse TGP, exactly sparse_MF_SP's compute path."""
+
+    def __init__(self, Dx, M, N, init_Z, flow, quad_points=100,
+                 noise_init=0.05, ls_init=2.0, ks_init=2.0,
+                 var_scale=1e-5, mean_scale=0.0):
+        super().__init__()
+        self.M, self.N = M, float(N)
+        self.Z = nn.Parameter(torch.tensor(init_Z).view(1, M, Dx))
+        self.raw_ls = nn.Parameter(inv_softplus(ls_init) * torch.ones(1, 1, Dx))
+        self.raw_ks = nn.Parameter(inv_softplus(ks_init) * torch.ones(1))
+        self.q_mu = nn.Parameter(torch.ones(1, M) * mean_scale)
+        self.q_L = nn.Parameter(torch.eye(M).view(1, M, M)
+                                * math.sqrt(var_scale))
+        self.log_var_noise = nn.Parameter(
+            torch.log(torch.tensor(noise_init)).view(1, 1))
+        self.flow = flow  # None for SVGP
+        xq, wq = np.polynomial.hermite.hermgauss(quad_points)
+        self.register_buffer("quad_x", torch.tensor(xq))
+        self.register_buffer("quad_w", torch.tensor(wq))
+
+    def gram(self, A, B):
+        ls = softplus(self.raw_ls)
+        a, b = A / ls, B / ls
+        d2 = ((a * a).sum(-1).unsqueeze(-1) + (b * b).sum(-1).unsqueeze(-2)
+              - 2.0 * a @ b.transpose(-1, -2))
+        return softplus(self.raw_ks).view(-1, 1, 1) * torch.exp(-0.5 * d2.clamp_min(0))
+
+    def marginal_qf(self, X):
+        """sparse_MF_SP.py:274-396, whitened, diagonal."""
+        X3 = X.view(1, *X.shape)
+        Kxx_diag = softplus(self.raw_ks).view(1, 1).expand(1, X.shape[0])
+        Kzz = self.gram(self.Z, self.Z)
+        Kxz = self.gram(X3, self.Z)
+        Kzx = Kxz.transpose(1, 2)
+        L_zz, _ = psd_safe_cholesky(Kzz)
+
+        lower = torch.ones(self.M, self.M).tril(0)
+        L_q = self.q_L * lower
+        S_q = L_q @ L_q.transpose(1, 2)
+        m_q = self.q_mu.view(1, self.M, 1)
+
+        sol_m = torch.linalg.solve_triangular(L_zz.transpose(1, 2), m_q,
+                                              upper=True)
+        mu_qf = (Kxz @ sol_m).squeeze(-1)                       # (1,MB)
+
+        sol = torch.cholesky_solve(Kzx, L_zz)
+        rhs = torch.linalg.solve_triangular(L_zz, Kzx, upper=False)
+        cov_qf = (Kxx_diag - (Kzx * sol).sum(1)
+                  + (rhs * (S_q @ rhs)).sum(1))                 # (1,MB)
+        return mu_qf, cov_qf
+
+    def kld(self):
+        """sparse_MF_SP.py:398-431 whitened closed form."""
+        lower = torch.ones(self.M, self.M).tril(0)
+        L_q = self.q_L * lower
+        dot_mean = (self.q_mu ** 2).sum()
+        log_det = torch.log(torch.diagonal(L_q, dim1=1, dim2=2) ** 2).sum()
+        trace = (L_q ** 2).sum()
+        return 0.5 * (-log_det + dot_mean + trace - float(self.M))
+
+    def ell(self, X, Y, mu_qf, cov_qf):
+        """GaussianLinearMean.py:60-87 (SVGP) or
+        GaussianNonLinearMean.py:113-150 (TGP, GH quadrature)."""
+        Yt = Y.t()                                              # (1,MB)
+        c_y = torch.exp(self.log_var_noise).expand_as(Yt)
+        if self.flow is None:
+            lp = batched_log_gaussian(Yt, mu_qf, c_y)
+            tr = -0.5 * torch.sum(cov_qf / c_y, 1)
+            return (lp + tr).sum()
+        f = (math.sqrt(2.0) * torch.sqrt(cov_qf).unsqueeze(0)
+             * self.quad_x.view(-1, 1, 1) + mu_qf.unsqueeze(0))  # (S,1,MB)
+        fk = self.flow(f, X)
+        logp = -0.5 * (torch.log(2 * math.pi * c_y) + (Yt - fk) ** 2 / c_y)
+        ell = (self.quad_w.view(-1, 1, 1) * logp).sum(0) / SQRT_PI
+        return ell.sum()
+
+    def elbo(self, X, Y):
+        mu_qf, cov_qf = self.marginal_qf(X)
+        kld = self.kld()
+        MB = Y.shape[0]
+        ell = self.N / MB * self.ell(X, Y, mu_qf, cov_qf)
+        return ell - kld, ell, kld
+
+    ## ------------------ eval (no_grad) --------------------------------- ##
+
+    @torch.no_grad()
+    def test_log_likelihood(self, X, Y, Y_std, S_MC=1, bayesian=False):
+        """sparse_MF_SP.py:637-776. Returns (sum log p(y), m1, m2)."""
+        self.eval()
+        if bayesian:
+            enable_eval_dropout(self)
+        MB = X.shape[0]
+        mu_qf, cov_qf = self.marginal_qf(X)                     # (1,MB)
+        c_y = torch.exp(self.log_var_noise).view(1, 1, 1, 1)
+        if self.flow is None:
+            m_y, k_y = mu_qf, cov_qf + torch.exp(self.log_var_noise)
+            lp = batched_log_gaussian(Y_std * Y.t(), Y_std * m_y,
+                                      (Y_std * torch.sqrt(k_y)) ** 2)
+            return float(lp.sum()), m_y.squeeze(0), k_y.squeeze(0)
+
+        if not bayesian:
+            S_MC = 1        # sparse_MF_SP.py:737: S_MC_NNet = 1 unless bayesian
+        # quadrature locations (S,1,MB) -> expand MC axis (S,1,S_MC,MB)
+        mu = mu_qf.unsqueeze(1).repeat(1, S_MC, 1)              # (1,S_MC,MB)
+        cv = cov_qf.unsqueeze(1).repeat(1, S_MC, 1)
+        locs = (torch.sqrt(2.0 * cv).unsqueeze(0) * self.quad_x.view(-1, 1, 1, 1)
+                + mu.unsqueeze(0))                              # (S,1,S_MC,MB)
+        Xr = X.view(1, 1, MB, -1).repeat(1, S_MC, 1, 1)
+        fk = self.flow(locs, Xr)
+        y = Y.t().view(1, 1, 1, MB)
+        logp = (-0.5 * (torch.log(2 * math.pi * c_y * Y_std ** 2)
+                        + (Y_std * y - Y_std * fk) ** 2 / (c_y * Y_std ** 2)))
+        logw = torch.log(self.quad_w).view(-1, 1, 1, 1)
+        if bayesian:
+            red = torch.logsumexp(logw + logp, dim=0) - 0.5 * math.log(math.pi)
+            lp = (torch.logsumexp(red, dim=1).sum()
+                  - MB * math.log(S_MC))
+        else:
+            lp = (torch.logsumexp(logw + logp, dim=0).sum()
+                  - 0.5 * MB * math.log(math.pi))
+        # predictive moments via quadrature (GaussianNonLinearMean.py:152-203)
+        m1_mc = (self.quad_w.view(-1, 1, 1, 1) * fk).sum(0) / SQRT_PI
+        m2_mc = (torch.exp(self.log_var_noise).view(1, 1, 1)
+                 + (self.quad_w.view(-1, 1, 1, 1) * fk ** 2).sum(0) / SQRT_PI
+                 - m1_mc ** 2)                                  # (1,S_MC,MB)
+        if bayesian:  # mixture moments, sparse_MF_SP.py:499-528
+            m1 = m1_mc.mean(1)
+            m2 = (m2_mc + m1_mc ** 2).mean(1) - m1 ** 2
+        else:
+            m1, m2 = m1_mc.squeeze(1), m2_mc.squeeze(1)
+        return float(lp), m1.squeeze(0), m2.squeeze(0)
+
+    @torch.no_grad()
+    def sample_predictive(self, X, S, bayesian=False):
+        """sparse_MF_SP.py:886-992: reparam sample, warp, add noise."""
+        self.eval()
+        if bayesian:
+            enable_eval_dropout(self)
+        N = X.shape[0]
+        Xr = X.repeat(S, 1)
+        mu_qf, cov_qf = self.marginal_qf(Xr)
+        e = torch.randn_like(mu_qf)
+        f0 = e * torch.sqrt(cov_qf) + mu_qf
+        fk = self.flow(f0, Xr.unsqueeze(0)) if self.flow is not None else f0
+        noise = torch.sqrt(torch.exp(self.log_var_noise))
+        y = fk + noise * torch.randn_like(fk)
+        return y.view(S, N)
+
+
+def enable_eval_dropout(model):
+    found = False
+    for m in model.modules():
+        if isinstance(m, nn.Dropout):
+            m.train()
+            found = True
+    return found
+
+
+## ===================== initializer (ID_TGP) ============================= ##
+
+def fit_hypernets_to_identity(model, X_tr, epochs=2000, batch=10000, seed=0):
+    """initializers.py:111-182: fit NNet_p(X) ~ anchor p (identity values)
+    over the train loader by MSE, Adam lr=0.01, dropout active."""
+    nnet_params = [p for n, p in model.named_parameters() if "NNets" in n]
+    opt = torch.optim.Adam(nnet_params, lr=0.01)
+    gen = torch.Generator().manual_seed(seed)
+    n = X_tr.shape[0]
+    model.train()
+    for ep in range(epochs):
+        perm = torch.randperm(n, generator=gen)
+        for s in range(0, n, batch):
+            xb = X_tr[perm[s:s + batch]]
+            loss = 0.0   # flow.py:907-922: sum over flows of mean MSE to anchor
+            for fl in model.flow.flows:
+                if isinstance(fl, SinhArcsinhFlow) and fl.hyper is not None:
+                    a = fl.NNets_a(xb).squeeze(-1)
+                    b = fl.NNets_b(xb).squeeze(-1)
+                    loss = loss + ((a - fl.anchor_a) ** 2).mean() \
+                                + ((b - fl.anchor_b) ** 2).mean()
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+    return float(loss)
+
+
+## ===================== experiment ======================================= ##
+
+def run(args):
+    from tgp.pytorch_tpu.data.registry import return_dataset
+    from sklearn.cluster import KMeans
+
+    torch.manual_seed(0)
+    np.random.seed(0)  # cg.set_seed(cg.config_seed=0), config.py:33-35,66
+
+    loaders, dc = return_dataset(args.dataset, 10000, use_validation=None,
+                                 seed=args.split)
+    X_tr = torch.tensor(np.asarray(dc["X_tr"], np.float64))
+    Y_tr_full = torch.tensor(np.asarray(dc["Y_tr"], np.float64))
+    test_loader = loaders[-1]
+    Xte = torch.tensor(np.concatenate([xb for xb, _ in test_loader], 0))
+    Yte = torch.tensor(np.concatenate([yb for _, yb in test_loader], 0))
+    N_tr, Dx = X_tr.shape
+    Y_std = torch.tensor(float(np.asarray(dc["Y_std"]).ravel()[0]))
+
+    km = KMeans(n_clusters=args.num_inducing, init="k-means++", n_init=10,
+                random_state=0).fit(X_tr.numpy())   # utils.py:143-159
+    init_Z = km.cluster_centers_
+
+    hyper = None
+    if args.model == "SVGP":
+        flow = None
+        nb = 0
+    elif args.model == "TGP":
+        nb = {"power": 2, "boston": 10}[args.dataset]
+        if args.dataset != "power":
+            raise SystemExit("TGP replica currently supports power (SAL x2); "
+                             "boston uses StepTanhL which needs the identity-"
+                             "fit initializer replica")
+        flow = sal_flow(nb)
+    elif args.model == "ID_TGP":
+        cfgs = {"power": (3, "relu", 2, 0.25, 50),
+                "boston": (1, "tanh", 1, 0.5, 25)}  # exp_config.py:4-27
+        nb, act, n_layers, dr, hdim = cfgs[args.dataset]
+        hyper = (Dx, hdim, n_layers, dr, act)
+        flow = sal_flow(nb, hyper=hyper)
+    else:
+        raise SystemExit(f"unknown model {args.model}")
+
+    model = SparseTGP(Dx, args.num_inducing, N_tr, init_Z, flow,
+                      quad_points=100)
+
+    t_init = 0.0
+    if args.model == "ID_TGP":
+        t0 = time.time()
+        fit_hypernets_to_identity(model, X_tr, epochs=args.init_epochs)
+        t_init = time.time() - t0
+        print(f"hypernet identity-fit done in {t_init:.1f}s", flush=True)
+
+    # optimizer: all params lr=0.01; ID_TGP adds wd=1e-5 on NNets
+    # (main.py:274-288 groups G_matrix non-NNet params at lr, NNets at lr+wd)
+    if args.model == "ID_TGP":
+        nnets = [p for n, p in model.named_parameters() if "NNets" in n]
+        rest = [p for n, p in model.named_parameters() if "NNets" not in n]
+        opt = torch.optim.Adam([{"params": rest, "lr": 0.01},
+                                {"params": nnets, "lr": 0.01,
+                                 "weight_decay": 1e-5}])
+    else:
+        opt = torch.optim.Adam(model.parameters(), lr=0.01)
+
+    # training loop: trainer_base.py:322-361 (shuffled minibatches; full
+    # batch for boston/power since batch 10000 >= N_tr)
+    gen = torch.Generator().manual_seed(0)
+    out = open(args.out, "a")
+    t0 = time.time()
+    steps = 0
+    for ep in range(args.epochs):
+        perm = torch.randperm(N_tr, generator=gen)
+        for s in range(0, N_tr, 10000):
+            idx = perm[s:s + 10000]
+            xb, yb = X_tr[idx], Y_tr_full[idx]
+            model.train()
+            elbo, ell, kld = model.elbo(xb, yb)
+            loss = -elbo
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            steps += 1
+        if (ep + 1) % args.log_each == 0:
+            dt = time.time() - t0
+            rec = {"model": args.model, "dataset": args.dataset,
+                   "M": args.num_inducing, "epoch": ep + 1,
+                   "elbo": float(elbo.detach()), "steps_per_sec": steps / dt,
+                   "wall_s": dt}
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(rec, flush=True)
+    train_time = time.time() - t0
+    sps = steps / train_time
+
+    def metrics(bayesian=False, S_MC=1):
+        tot, lp_sum, se_sum, cov_sum = 0, 0.0, 0.0, 0.0
+        for xb, yb in [(Xte, Yte)]:
+            lp, m1, _ = model.test_log_likelihood(
+                xb, yb, Y_std, S_MC=S_MC, bayesian=bayesian)
+            samp = model.sample_predictive(xb, 100, bayesian=bayesian)
+            q = np.quantile(samp.numpy(), [0.025, 0.975], axis=0)
+            y = yb.squeeze(-1).numpy()
+            cov_sum += float(np.logical_and(y >= q[0], y <= q[1]).sum())
+            se_sum += float(((m1 - yb.squeeze(-1)) ** 2).sum())
+            lp_sum += lp
+            tot += xb.shape[0]
+        nll = -lp_sum / tot
+        rmse = float(Y_std) * math.sqrt(se_sum / tot)
+        return nll, rmse, cov_sum / tot
+
+    nll, rmse, cover = metrics()
+    rec = {"model": args.model, "dataset": args.dataset,
+           "M": args.num_inducing, "split": args.split,
+           "epochs": args.epochs, "final": True,
+           "test_nll": nll, "test_rmse": rmse, "coverage95": cover,
+           "steps_per_sec": sps, "train_wall_s": train_time,
+           "init_wall_s": t_init,
+           "torch_threads": torch.get_num_threads()}
+    out.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+    if args.model == "ID_TGP":    # BA evaluation, main.py:308-322
+        nll_b, rmse_b, cover_b = metrics(bayesian=True, S_MC=100)
+        rec = dict(rec, test_nll=nll_b, test_rmse=rmse_b,
+                   coverage95=cover_b, bayesian=True)
+        out.write(json.dumps(rec) + "\n")
+        print(rec, flush=True)
+    out.close()
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True,
+                   choices=["SVGP", "TGP", "ID_TGP"])
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--split", type=int, default=1)
+    p.add_argument("--num_inducing", type=int, required=True)
+    p.add_argument("--epochs", type=int, default=15000)
+    p.add_argument("--init_epochs", type=int, default=2000)
+    p.add_argument("--log_each", type=int, default=250)
+    p.add_argument("--out", default="results_torch_replica.jsonl")
+    run(p.parse_args())
