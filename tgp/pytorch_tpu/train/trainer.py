@@ -57,6 +57,22 @@ def frozen_param_labels(spec: TGPSpec, params):
     return jax.tree_util.tree_map(is_frozen, paths)
 
 
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _eval_batch(spec, params, X, Y, S_MC, fully_bayesian, S_test, Y_std, rng):
+    """Jitted one-batch evaluation kernel, keyed by the hashable spec (not a
+    Trainer instance, which would retrace per instance and pin params in the
+    jit cache)."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    log_p = tgp_mod.test_log_likelihood(
+        spec, params, X, Y, Y_std, S_MC=S_MC,
+        fully_bayesian=fully_bayesian, rng=r1)
+    m1, m2, _, _ = tgp_mod.predictive_distribution(
+        spec, params, X, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=r2)
+    samples, _, _ = tgp_mod.sample_predictive(
+        spec, params, X, S_test, r3, fully_bayesian=fully_bayesian)
+    return log_p, m1, samples
+
+
 class Trainer:
     """Owns the optimisation loop for one TGP model.
 
@@ -71,8 +87,16 @@ class Trainer:
 
     def __init__(self, spec: TGPSpec, params, data_loaders, Y_std,
                  S_test: int = 100, validate_each: int = 10 ** 18,
-                 seed: int = 0, track_fn=None):
+                 seed: int = 0, track_fn=None, mesh=None):
         self.spec = spec
+        self.mesh = mesh
+        if mesh is not None:
+            # dp x ty multi-chip training (parallel/mesh.py): parameters are
+            # placed with their mesh sharding once; jit propagates it through
+            # the scan fast paths, and the optimizer state (zeros_like on the
+            # sharded leaves) inherits it.  Batches are dp-sharded at upload.
+            from ..parallel import param_sharding
+            params = jax.device_put(params, param_sharding(spec, params, mesh))
         self.params = params
         self.loaders = data_loaders
         self.train_loader = data_loaders[0]
@@ -102,6 +126,31 @@ class Trainer:
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _put_batch(self, *arrays):
+        """Upload batch arrays; dp-sharded across the mesh when one is set.
+
+        A batch whose row count does not divide the 'dp' axis is left
+        replicated (NamedSharding requires divisibility) — XLA still gets
+        the 'ty' parallelism from the parameter shardings."""
+        arrays = tuple(jnp.asarray(a, cfg.default_dtype()) for a in arrays)
+        if self.mesh is not None and arrays[0].shape[0] % self.mesh.shape["dp"] == 0:
+            from ..parallel import shard_batch
+            return shard_batch(self.mesh, *arrays) if len(arrays) > 1 else \
+                shard_batch(self.mesh, arrays[0])
+        return arrays if len(arrays) > 1 else arrays[0]
+
+    def _batch_constraint(self, xb, yb):
+        """Inside-jit dp-sharding constraint for batches gathered from a
+        device-resident dataset (minibatch scan path): with a mesh, the
+        gather output is forced onto the 'dp' axis so each chip materialises
+        only its batch shard."""
+        if self.mesh is None or xb.shape[0] % self.mesh.shape["dp"] != 0:
+            return xb, yb
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("dp"))
+        return (jax.lax.with_sharding_constraint(xb, sh),
+                jax.lax.with_sharding_constraint(yb, sh))
 
     def _check_finite(self, where: str):
         if not self.nan_guard or not self.loss_curve:
@@ -157,6 +206,7 @@ class Trainer:
                 ids, r = inp
                 xb = jnp.take(Xd, ids, axis=0)
                 yb = jnp.take(Yd, ids, axis=0)
+                xb, yb = self._batch_constraint(xb, yb)
 
                 def loss_fn(pp):
                     e, ell, kld = tgp_mod.elbo(spec, pp, xb, yb, r)
@@ -246,9 +296,11 @@ class Trainer:
                 # scan-compiled epochs: one device call per chunk
                 run_steps = self._make_scan_steps(optimizer)
                 X, Y = next(iter(self.train_loader))
-                Xd = jnp.asarray(X, cfg.default_dtype())
-                Yd = jnp.asarray(Y, cfg.default_dtype())
-                chunk = int(min(phase_epochs, 2000, ve))
+                Xd, Yd = self._put_batch(X, Y)
+                # chunk boundaries align to both validate_each and
+                # verbose_each so the requested cadences are honoured
+                chunk = int(min(phase_epochs, 2000, ve,
+                                verbose_each if verbose_each else 10 ** 18))
                 done = 0
                 t0 = time.time()
                 while done < phase_epochs:
@@ -256,13 +308,17 @@ class Trainer:
                             ve - (ep_done % ve) if ve <= epochs else chunk)
                     self.params, opt_state, curves = run_steps(
                         self.params, opt_state, Xd, Yd, self._next_rng(), n)
+                    prev_ep = ep_done
                     done += n
                     ep_done += n
                     self.loss_curve.extend(np.asarray(curves[0]))
                     self.ell_curve.extend(np.asarray(curves[1]))
                     self.kld_curve.extend(np.asarray(curves[2]))
                     self._check_finite(f"epoch {ep_done}")
-                    if verbose_each:
+                    # honour the requested cadence like the other two paths:
+                    # print only when a chunk crosses a verbose_each multiple
+                    if verbose_each and (ep_done // verbose_each
+                                         > prev_ep // verbose_each):
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
                               f"({(time.time() - t0) / done * 1e3:.2f}ms/ep)")
@@ -278,6 +334,8 @@ class Trainer:
             if device_resident:
                 MB = self.train_loader.batch_size
                 run_epoch = self._make_minibatch_scan(optimizer, MB)
+                # the resident dataset stays replicated (each chip gathers its
+                # own dp shard of every shuffled batch locally)
                 Xd = jnp.asarray(ds.X, cfg.default_dtype())
                 Yd = jnp.asarray(ds.Y, cfg.default_dtype())
                 n = ds.X.shape[0]
@@ -316,8 +374,7 @@ class Trainer:
             t0 = time.time()
             for ep in range(phase_epochs):
                 for X, Y in self.train_loader:
-                    Xd = jnp.asarray(X, cfg.default_dtype())
-                    Yd = jnp.asarray(Y, cfg.default_dtype())
+                    Xd, Yd = self._put_batch(X, Y)
                     self.params, opt_state, (e, ell, kld) = step_fn(
                         self.params, opt_state, Xd, Yd, self._next_rng())
                     self.loss_curve.append(e)
@@ -388,18 +445,9 @@ class Trainer:
     # ------------------------------------------------------------------
     # Evaluation (reference: trainers_regression.py:108-225)
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnums=(0, 4, 5))
     def _eval_batch(self, params, X, Y, S_MC, fully_bayesian, Y_std, rng):
-        spec = self.spec
-        r1, r2, r3 = jax.random.split(rng, 3)
-        log_p = tgp_mod.test_log_likelihood(
-            spec, params, X, Y, Y_std, S_MC=S_MC,
-            fully_bayesian=fully_bayesian, rng=r1)
-        m1, m2, _, _ = tgp_mod.predictive_distribution(
-            spec, params, X, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=r2)
-        samples, _, _ = tgp_mod.sample_predictive(
-            spec, params, X, self.S_test, r3, fully_bayesian=fully_bayesian)
-        return log_p, m1, samples
+        return _eval_batch(self.spec, params, X, Y, S_MC, fully_bayesian,
+                           self.S_test, Y_std, rng)
 
     def _metrics_for_loader(self, loader):
         spec = self.spec
