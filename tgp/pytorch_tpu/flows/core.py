@@ -62,6 +62,7 @@ class FlowCtx:
     rng: Optional[jax.Array] = None
     stochastic: bool = True
     mean_only: bool = False  # hypernet initializer path
+    train: bool = False      # ELBO training: hypernet BN uses batch stats
 
 
 # parameter names per kind (point-estimate path)
@@ -279,8 +280,29 @@ def _hyper_params(step: FlowStep, params, X, ctx: FlowCtx, names):
             rng, sub = jax.random.split(rng)
         outs.append(apply_hypernet(step.hypernet, params[f"net_{n}"], X,
                                    rng=sub, stochastic=ctx.stochastic,
-                                   mean_only=ctx.mean_only))
+                                   mean_only=ctx.mean_only, train=ctx.train))
     return outs
+
+
+def finalize_bn(spec: Tuple[FlowStep, ...], params, X):
+    """Recalibrate the BN statistics of every hypernet in the flow from a
+    deterministic pass over X (see hypernet.finalize_bn_stats).  Returns an
+    updated params list; a no-op for flows without BN hypernets."""
+    from .hypernet import finalize_bn_stats
+
+    out = []
+    for step, p in zip(spec, params):
+        if step.kind == "step_flow":
+            out.append(dict(p, sub=finalize_bn(step.sub, p["sub"], X)))
+            continue
+        if step.input_dependent and step.hypernet.batch_norm:
+            names = ("a", "b", "c", "d") if step.kind == "tanh" else ("a", "b")
+            p = dict(p)
+            for n in names:
+                p[f"net_{n}"] = finalize_bn_stats(step.hypernet,
+                                                  p[f"net_{n}"], X)
+        out.append(p)
+    return out
 
 
 def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):

@@ -55,6 +55,14 @@ class HyperNetSpec:
     inference: str = "MC_dropout"  # or 'mean_field_gaussian'
     prior_var: float = 1.0         # VI prior variance (flow.py:874)
 
+    def __post_init__(self):
+        if self.batch_norm and self.inference != "MC_dropout":
+            # the reference's BN lives in the pytorchlib.apply_linear MLP
+            # blocks used by the MC-dropout hypernets (flow.py:944-957);
+            # its BNN_VILR VI nets have no BN (BNN_VILR.py:47-92)
+            raise NotImplementedError(
+                "batch_norm is only supported for MC_dropout hypernets")
+
     def layer_dims(self) -> Tuple[Tuple[int, int], ...]:
         dims = []
         d = self.in_dim
@@ -68,14 +76,24 @@ class HyperNetSpec:
 def init_hypernet(spec: HyperNetSpec, key, dtype=None):
     dtype = dtype or cfg.default_dtype()
     layers = []
-    for (din, dout) in spec.layer_dims():
+    n = len(spec.layer_dims())
+    for i, (din, dout) in enumerate(spec.layer_dims()):
         key, k1, k2, k3, k4 = jax.random.split(key, 5)
         if spec.inference == "MC_dropout":
             # Kaiming-uniform-ish init (torch Linear default):
             bound = 1.0 / np.sqrt(din)
             W = jax.random.uniform(k1, (din, dout), dtype, -bound, bound)
             b = jax.random.uniform(k2, (dout,), dtype, -bound, bound)
-            layers.append({"W": W, "b": b})
+            layer = {"W": W, "b": b}
+            if spec.batch_norm and i < n - 1:
+                # torch BatchNorm1d defaults: gamma=1, beta=0; the running
+                # mean/var leaves are excluded from optimisation (Trainer
+                # freezes them) and set by finalize_bn_stats after training
+                layer["bn"] = {"gamma": jnp.ones(dout, dtype),
+                               "beta": jnp.zeros(dout, dtype),
+                               "mean": jnp.zeros(dout, dtype),
+                               "var": jnp.ones(dout, dtype)}
+            layers.append(layer)
         elif spec.inference == "mean_field_gaussian":
             # reference BNN_VILR: means ~ N(0,1), logvars ~ tiny negative
             # (code/dsp/models/BNN_VILR.py:20-23)
@@ -90,13 +108,33 @@ def init_hypernet(spec: HyperNetSpec, key, dtype=None):
     return {"layers": layers}
 
 
+def _batch_norm(layer_bn, h, use_batch_stats: bool, eps: float = 1e-5):
+    """BatchNorm over all leading axes of h (..., dout).
+
+    use_batch_stats=True normalises with the current batch's statistics
+    (torch train-mode behaviour: running stats never affect training
+    dynamics); False uses the stored stats (torch eval mode — note the
+    reference's `enable_eval_dropout` re-enables Dropout modules only,
+    BN stays in eval mode, utils_models.py:358-364)."""
+    if use_batch_stats:
+        axes = tuple(range(h.ndim - 1))
+        mean = jnp.mean(h, axis=axes)
+        var = jnp.var(h, axis=axes)
+    else:
+        mean, var = layer_bn["mean"], layer_bn["var"]
+    return layer_bn["gamma"] * (h - mean) / jnp.sqrt(var + eps) + layer_bn["beta"]
+
+
 def apply_hypernet(spec: HyperNetSpec, params, X, *, rng=None,
-                   stochastic: bool = True, mean_only: bool = False):
+                   stochastic: bool = True, mean_only: bool = False,
+                   train: bool = False):
     """Forward X (..., in_dim) -> (...,) scalar flow parameter per row.
 
     stochastic=True keeps dropout / weight sampling active (training or
     MC-dropout evaluation).  mean_only=True uses the deterministic mean path
     (used by the hypernet initializer, reference BNN_VILR.py:37-38).
+    train=True additionally puts batch-norm layers in batch-statistics mode
+    (ELBO training only; all evaluation paths use the stored stats).
     """
     act = ACTS[spec.activation]
     n_layers = len(params["layers"])
@@ -106,6 +144,10 @@ def apply_hypernet(spec: HyperNetSpec, params, X, *, rng=None,
         if spec.inference == "MC_dropout":
             h = h @ layer["W"] + layer["b"]
             if not last:
+                if spec.batch_norm:
+                    # Linear -> BN -> activation -> dropout (the reference's
+                    # pytorchlib.apply_linear block order, flow.py:666-689)
+                    h = _batch_norm(layer["bn"], h, use_batch_stats=train)
                 h = act(h)
                 if spec.dropout > 0.0 and stochastic and not mean_only:
                     if rng is None:
@@ -126,6 +168,34 @@ def apply_hypernet(spec: HyperNetSpec, params, X, *, rng=None,
                 s = mu + eps * jnp.sqrt(var)
             h = s if last else act(s)
     return jnp.squeeze(h, axis=-1)
+
+
+def finalize_bn_stats(spec: HyperNetSpec, params, X):
+    """Set each BN layer's stored mean/var from a deterministic full pass
+    over X (dropout off, earlier BN layers already using their fresh stats).
+
+    The jit-friendly functional replacement for torch's running-average
+    update: a single recalibration pass over the training inputs after
+    optimisation (the stats only matter at evaluation)."""
+    if spec.inference != "MC_dropout" or not spec.batch_norm:
+        return params
+    act = ACTS[spec.activation]
+    n_layers = len(params["layers"])
+    new_layers = []
+    h = X
+    for i, layer in enumerate(params["layers"]):
+        last = i == n_layers - 1
+        h = h @ layer["W"] + layer["b"]
+        if not last and "bn" in layer:
+            axes = tuple(range(h.ndim - 1))
+            bn = dict(layer["bn"], mean=jnp.mean(h, axis=axes),
+                      var=jnp.var(h, axis=axes))
+            layer = dict(layer, bn=bn)
+            h = _batch_norm(bn, h, use_batch_stats=False)
+        new_layers.append(layer)
+        if not last:
+            h = act(h)
+    return dict(params, layers=new_layers)
 
 
 def hypernet_kld(spec: HyperNetSpec, params):

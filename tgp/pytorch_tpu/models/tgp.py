@@ -119,7 +119,24 @@ class TGPSpec:
     def has_input_dependent_flow(self) -> bool:
         def any_id(steps):
             return any(s.input_dependent or (s.sub and any_id(s.sub)) for s in steps)
+        if self.flow_per_output is not None:
+            return any(any_id(f) for f in self.flow_per_output)
         return any_id(self.flow)
+
+    @property
+    def has_bn_flow(self) -> bool:
+        """True if any hypernet carries batch-norm layers (their stored
+        statistics must be recalibrated via finalize_batch_norm)."""
+        def any_bn(steps):
+            for s in steps:
+                if s.sub and any_bn(s.sub):
+                    return True
+                if s.input_dependent and s.hypernet.batch_norm:
+                    return True
+            return False
+        if self.flow_per_output is not None:
+            return any(any_bn(f) for f in self.flow_per_output)
+        return any_bn(self.flow)
 
     @property
     def has_stochastic_flow(self) -> bool:
@@ -352,7 +369,8 @@ def _warp_clip(f):
     return jnp.clip(f, -big, big)
 
 
-def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool):
+def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool,
+               train: bool = False):
     """Build warp: f (S, Dy, MB) -> (S, Dy, MB), vmapping flows over Dy.
 
     X3 is the (Dy, MB, Dx) input used by input-dependent flows.  The rng (if
@@ -375,13 +393,13 @@ def _make_warp(spec: TGPSpec, params, X3, rng, stochastic: bool):
                 sub = None
                 if r is not None:
                     r, sub = jax.random.split(r)
-                ctx = FlowCtx(rng=sub, stochastic=stochastic)
+                ctx = FlowCtx(rng=sub, stochastic=stochastic, train=train)
                 outs.append(flow_forward(fs, fp[d], f[:, d, :], X3[d], ctx))
             return _warp_clip(jnp.stack(outs, axis=1))
         return warp_hetero
 
     def warp_one(p_d, X_d, rng_d, f_d):
-        ctx = FlowCtx(rng=rng_d, stochastic=stochastic)
+        ctx = FlowCtx(rng=rng_d, stochastic=stochastic, train=train)
         return flow_forward(spec.flow, p_d, f_d, X_d, ctx)
 
     def warp(f):  # f: (S, Dy, MB)
@@ -418,6 +436,29 @@ def flows_kld(spec: TGPSpec, params):
     return jnp.sum(klds)
 
 
+def finalize_batch_norm(spec: TGPSpec, params, X):
+    """Recalibrate all hypernet batch-norm statistics from a deterministic
+    pass over the training inputs X (N, Dx); returns updated params.
+
+    Call once after training and before evaluation (the Trainer does this
+    automatically).  The functional replacement for torch's running-average
+    BN state, which only ever matters at eval time."""
+    if not spec.has_bn_flow:
+        return params
+    from ..flows.core import finalize_bn
+
+    X3 = _ensure_3d(spec, jnp.asarray(X, cfg.default_dtype()))
+    fp = params["flow"]
+    if spec.flow_per_output is not None:
+        new_fp = [finalize_bn(fs, fp[d], X3[d])
+                  for d, fs in enumerate(spec.flow_per_output)]
+    elif spec.flow_is_shared:
+        new_fp = finalize_bn(spec.flow, fp, X3[0])
+    else:
+        new_fp = jax.vmap(lambda p_d, X_d: finalize_bn(spec.flow, p_d, X_d))(fp, X3)
+    return dict(params, flow=new_fp)
+
+
 # ===========================================================================
 # ELBO
 # ===========================================================================
@@ -450,7 +491,7 @@ def elbo(spec: TGPSpec, params, X, Y, rng: Optional[jax.Array] = None):
     kl_flow = flows_kld(spec, params)
 
     lik = spec.likelihood
-    warp = _make_warp(spec, params, X3, rng, stochastic=True)
+    warp = _make_warp(spec, params, X3, rng, stochastic=True, train=True)
     if spec.remat and spec.has_flow:
         inner_warp = warp
         warp = lambda f: jax.checkpoint(inner_warp)(f)

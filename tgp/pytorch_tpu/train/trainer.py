@@ -49,6 +49,10 @@ def frozen_param_labels(spec: TGPSpec, params):
     def is_frozen(path):
         if spec.mean == "identity" and path.startswith("mean/"):
             return True
+        if path.endswith("/bn/mean") or path.endswith("/bn/var"):
+            # hypernet batch-norm statistics: set by finalize_batch_norm
+            # after training, never by gradients (torch running stats)
+            return True
         for pre in hyper_prefixes:
             if path.startswith(pre + "/") and path[len(pre) + 1:] in ("a", "b", "c", "d"):
                 return True
@@ -393,6 +397,12 @@ class Trainer:
                     m = self.compute_metrics()
                     print(f"|   eval @ {ep_done}: {m}")
             self._opt_state_carry = opt_state
+        if self.spec.has_bn_flow:
+            # recalibrate hypernet batch-norm statistics on the train inputs
+            # so evaluation uses frozen stats (torch eval-mode BN semantics)
+            ds = self.train_loader.dataset
+            self.params = tgp_mod.finalize_batch_norm(self.spec, self.params,
+                                                      ds.X)
         return self
 
     def _build_phase_optimizer(self, specs, lr_ALL, opt, frozen,
