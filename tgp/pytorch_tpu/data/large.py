@@ -21,6 +21,7 @@ import pickle
 import numpy as np
 
 from .uci import standard_normalize
+from .splits import k_fold, random_split_prop, random_split_validation
 
 _ROOT = os.environ.get(
     "TGP_DATA_ROOT",
@@ -122,13 +123,59 @@ def load_rainfall(partition: int = 0, use_validation=None,
     X_va = Y_va = None
     if use_validation is not None:
         val_seed, n_val = use_validation
-        np.random.seed(val_seed)
-        perm = np.random.permutation(X_tr.shape[0])
-        keep, va = perm[:-n_val], perm[-n_val:]
-        X_va, Y_va = X_tr[va], Y_tr[va]
-        X_tr, Y_tr = X_tr[keep], Y_tr[keep]
+        X_tr, Y_tr, X_va, Y_va = random_split_validation(
+            X_tr, Y_tr, val_seed, n_val)
     out = {"X_tr": X_tr, "Y_tr": Y_tr, "X_va": X_va, "Y_va": Y_va,
            "X_te": X_te, "Y_te": Y_te, "Y_std": np.ones(1), "Y_mean": 0.0}
+    return out
+
+
+def load_rainfall_spatial(partition: int = 0, use_validation=None,
+                          options: dict | None = None,
+                          data_dir: str | None = None):
+    """SIC97 rainfall over plain (x, y) coordinates.
+
+    The plain-coordinate variant of the reference's Rainfall_Spatial
+    (rainfall_spatial.py:33-110): read sic_full.dat, optionally shuffle with
+    a seed, then either a contiguous k-fold (sklearn-KFold semantics) or the
+    seeded random split over stations; inputs z-scored on train stats,
+    targets left unnormalised (Y_std=1, normalize_y=False as the reference).
+
+    The reference additionally derives polygon-grid prediction locations
+    via geopandas (rainfall_spatial.py:113-220) — geopandas is absent from
+    this image, and those grid features only feed its `X_all` plotting
+    output, not train/test; this loader covers the modeling path.
+    """
+    import pandas as pd
+
+    options = dict(options or {})
+    d = data_dir or os.path.join(_ROOT, "rainfall_spatial")
+    path = _require(os.path.join(d, "sic_full.dat"), "rainfall_spatial",
+                    "Download SIC97 (sic97data_01/sic_full.dat)")
+    df = pd.read_csv(path)
+    x = df[["x", "y"]].to_numpy(np.float64)
+    y = df["rainfall"].to_numpy(np.float64)[:, None]
+
+    if options.get("shuffle", True):
+        np.random.seed(options.get("seed", 0))
+        p = np.random.permutation(x.shape[0])
+        x, y = x[p], y[p]
+
+    split_type = options.get("split_type", "k_fold")
+    if split_type == "k_fold":
+        X_tr, Y_tr, X_te, Y_te = k_fold(x, y, partition,
+                                        options.get("num_folds", 5))
+    elif split_type == "random_split":
+        # reference: partition plays the seed role, validation_size rows
+        # become the test set (rainfall_spatial.py:96-103)
+        X_tr, Y_tr, X_te, Y_te = random_split_validation(
+            x, y, partition, options["validation_size"])
+    else:
+        raise ValueError(f"unknown split_type {split_type!r}")
+
+    out = standard_normalize(X_tr, Y_tr, None, None, X_te, Y_te,
+                             normalize_y=False)
+    out["Y_std"] = np.ones(1)
     return out
 
 
@@ -156,20 +203,15 @@ def load_air_quality(partition: int = 0, use_validation=None,
 
     split_type = options.get("split_type", "k_fold")
     if split_type == "k_fold":
-        k = options.get("num_folds", 5)
-        n = x.shape[0]
-        fold = partition
-        edges = np.linspace(0, n, k + 1).astype(int)
-        te_idx = np.arange(edges[fold], edges[fold + 1])
-        tr_idx = np.setdiff1d(np.arange(n), te_idx)
+        X_tr, Y_tr, X_te, Y_te = k_fold(x, y, partition,
+                                        options.get("num_folds", 5))
     elif split_type == "random_split":
-        prop = options.get("validation_size", 0.9)
-        n_tr = int(x.shape[0] * prop)
-        tr_idx, te_idx = np.arange(n_tr), np.arange(n_tr, x.shape[0])
+        X_tr, Y_tr, X_te, Y_te = random_split_prop(
+            x, y, options.get("validation_size", 0.9))
     else:
         raise ValueError(split_type)
-    out = standard_normalize(x[tr_idx], y[tr_idx], None, None,
-                             x[te_idx], y[te_idx], normalize_y=False)
+    out = standard_normalize(X_tr, Y_tr, None, None, X_te, Y_te,
+                             normalize_y=False)
     out["Y_std"] = np.ones(1)
     return out
 
@@ -179,4 +221,5 @@ LARGE_LOADERS = {
     "year": load_year,
     "rainfall": load_rainfall,
     "air_quality": load_air_quality,
+    "rainfall_spatial": load_rainfall_spatial,
 }

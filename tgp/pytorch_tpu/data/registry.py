@@ -38,6 +38,13 @@ def return_dataset(name: str, batch_size: int, use_validation=None,
         from .large import LARGE_LOADERS
         split = LARGE_LOADERS[name](seed, use_validation)
         is_classification = False
+    elif name in ("air_quality", "rainfall_spatial"):
+        # partition-style corpora: `seed` selects the fold/partition and
+        # split options flow through (reference: datasets.py:123-221 routes
+        # Air_Quality_Timeseries / Rainfall_Spatial with an options dict)
+        from .large import LARGE_LOADERS
+        split = LARGE_LOADERS[name](seed, use_validation, options=options)
+        is_classification = False
     else:
         raise NotImplementedError(
             f"dataset {name!r} not available (add a loader to data/registry.py)")

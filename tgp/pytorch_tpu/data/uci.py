@@ -129,12 +129,9 @@ def load_uci_split(name: str, seed: int, use_validation=None,
     X_va = Y_va = None
     if use_validation is not None:
         val_seed, n_val = use_validation
-        # legacy global-seed permutation for parity (data.py:216-234)
-        np.random.seed(val_seed)
-        perm = np.random.permutation(X_tr.shape[0])
-        tr_keep, va_keep = perm[:-n_val], perm[-n_val:]
-        X_va, Y_va = X_tr[va_keep], Y_tr[va_keep]
-        X_tr, Y_tr = X_tr[tr_keep], Y_tr[tr_keep]
+        from .splits import random_split_validation
+        X_tr, Y_tr, X_va, Y_va = random_split_validation(
+            X_tr, Y_tr, val_seed, n_val)
 
     return standard_normalize(X_tr, Y_tr, X_va, Y_va, X_te, Y_te,
                               categorical_cols=spec.categorical_cols,
