@@ -33,11 +33,31 @@ def _base_transform(opt: str):
         "adam_W": lambda: optax.scale_by_adam(),   # decoupled wd added below
         "adam_R": lambda: optax.scale_by_radam(),
         "sgd": lambda: optax.identity(),
-        "lbfgs": lambda: optax.scale_by_lbfgs(),
     }
+    if opt == "lbfgs":
+        raise NotImplementedError(
+            "lbfgs is a full solver with its own linesearch — it does not "
+            "compose with parameter groups / schedules; use "
+            "Trainer.train(opt='lbfgs') without an optimisation_schedule, "
+            "or lbfgs_optimizer() directly")
     if opt not in table:
         raise NotImplementedError(f"optimizer {opt!r}")
     return table[opt]()
+
+
+def lbfgs_optimizer(memory_size: int = 15):
+    """L-BFGS with zoom linesearch (strong-Wolfe step sizes).
+
+    The reference offers torch.optim.LBFGS with a constant lr and no
+    linesearch (code/dsp/trainers/optimizers.py:29) — that configuration
+    diverges on anything non-quadratic; optax's zoom linesearch makes the
+    solver actually usable.  Update calls must pass value/grad/value_fn
+    (see Trainer._make_lbfgs_scan)."""
+    return optax.lbfgs(
+        learning_rate=None,   # step size from the linesearch
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=25),
+    )
 
 
 def make_optimizer(opt: str, lr: float, weight_decay: float = 0.0):

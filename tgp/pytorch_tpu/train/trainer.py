@@ -228,6 +228,50 @@ class Trainer:
 
         return run_epoch
 
+    def _make_lbfgs_scan(self, optimizer, frozen):
+        """Full-batch L-BFGS: K solver iterations as one device program.
+
+        The objective must be deterministic for the linesearch to be
+        meaningful, so ONE rng is fixed for the whole run (stochastic-flow
+        models should prefer adam).  Frozen leaves get zeroed gradients so
+        the two-loop recursion never builds directions along them.  ELL/KLD
+        curves carry the same per-step values as the other paths.
+        """
+        spec = self.spec
+
+        # no donation here: optax.lbfgs state caches the params pytree, so
+        # params and opt_state alias the same buffers at the first call —
+        # donating both is a double-donate error
+        @partial(jax.jit, static_argnums=(5,))
+        def run_steps(params, opt_state, X, Y, rng, n_steps):
+            def loss_aux(pp):
+                e, ell, kld = tgp_mod.elbo(spec, pp, X, Y, rng)
+                return -e, (ell, kld)
+
+            def loss_fn(pp):
+                return loss_aux(pp)[0]
+
+            def mask(g):
+                return jax.tree_util.tree_map(
+                    lambda gg, fz: jnp.zeros_like(gg) if fz else gg, g, frozen)
+
+            def body(carry, _):
+                p, s = carry
+                (neg_e, (ell, kld)), grads = jax.value_and_grad(
+                    loss_aux, has_aux=True)(p)
+                grads = mask(grads)
+                updates, s = optimizer.update(
+                    grads, s, p, value=neg_e, grad=grads,
+                    value_fn=lambda pp: loss_fn(pp))
+                p = optax.apply_updates(p, updates)
+                return (p, s), (-neg_e, ell, kld)
+
+            (params, opt_state), curves = jax.lax.scan(
+                body, (params, opt_state), None, length=n_steps)
+            return params, opt_state, curves
+
+        return run_steps
+
     def _make_scan_steps(self, optimizer):
         """Full-batch fast path: K optimisation steps as ONE device program.
 
@@ -292,13 +336,30 @@ class Trainer:
         full_batch = (len(self.train_loader) == 1 and self.track_fn is None)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
-            optimizer = self._build_phase_optimizer(specs, lr_ALL, opt, frozen,
-                                                    clip_norm)
+            if opt == "lbfgs":
+                # full solver with its own linesearch: full-batch only, no
+                # parameter groups (the reference's torch LBFGS has the same
+                # restrictions de facto: one group, closure-based steps)
+                if specs is not None:
+                    raise NotImplementedError(
+                        "lbfgs does not support optimisation schedules")
+                if not full_batch:
+                    raise NotImplementedError(
+                        "lbfgs requires the full-batch path (one batch, no "
+                        "track_fn) — its linesearch needs a deterministic "
+                        "objective")
+                from .optimizers import lbfgs_optimizer
+                optimizer = lbfgs_optimizer()
+            else:
+                optimizer = self._build_phase_optimizer(specs, lr_ALL, opt,
+                                                        frozen, clip_norm)
             opt_state = optimizer.init(self.params)
 
             if full_batch:
                 # scan-compiled epochs: one device call per chunk
-                run_steps = self._make_scan_steps(optimizer)
+                run_steps = (self._make_lbfgs_scan(optimizer, frozen)
+                             if opt == "lbfgs"
+                             else self._make_scan_steps(optimizer))
                 X, Y = next(iter(self.train_loader))
                 Xd, Yd = self._put_batch(X, Y)
                 # chunk boundaries align to both validate_each and
