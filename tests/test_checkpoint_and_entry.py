@@ -20,6 +20,59 @@ def test_checkpoint_roundtrip(tmp_path):
     assert extra["lr"] == 0.01 and step == 10
 
 
+def test_checkpoint_preserves_custom_pytree_structure(tmp_path):
+    from tgp.pytorch_tpu.train.group_adam import GroupAdamState, init_state
+    params = {"a": jnp.arange(4.0), "b": {"W": jnp.eye(2)}}
+    state = init_state(params)
+    save_checkpoint(str(tmp_path), params, step=1, opt_state=state)
+    _, opt, _, _ = load_checkpoint(str(tmp_path), step=1)
+    assert isinstance(opt, GroupAdamState), type(opt)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_resume_mid_run_bit_exact(tmp_path):
+    """Interrupt at epoch 20 of 40, restore into a FRESH Trainer, continue:
+    parameters must match the uninterrupted two-call run bit-exactly
+    (grouped-adam moments + rng stream both round-trip)."""
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.train import Trainer
+
+    rng = np.random.RandomState(0)
+    X, Y = rng.randn(40, 3), rng.randn(40, 1)
+    fspec, finits = spec_from_list(G.SAL(1))
+    spec = M.TGPSpec(Dy=1, Dx=3, M=5, N=40.0, kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                               quad_points=16), flow=fspec)
+    params = M.init_tgp_params(spec, X, X[:5], flow_inits=finits)
+    copy = lambda p: jax.tree_util.tree_map(lambda x: np.array(x, copy=True), p)
+    mk = lambda: [DataLoader(ArrayDataset(X, Y), 64, seed=0),
+                  DataLoader(ArrayDataset(X, Y), 64, shuffle=False)]
+
+    # uninterrupted: two sequential train() calls on one Trainer
+    tr_a = Trainer(spec, copy(params), mk(), Y_std=np.ones(1), S_test=5, seed=7)
+    tr_a.train(20, 0.02, "adam", verbose_each=0)
+    tr_a.train(20, 0.02, "adam", verbose_each=0)
+
+    # interrupted: train, checkpoint, restore into a fresh Trainer, continue
+    tr_b = Trainer(spec, copy(params), mk(), Y_std=np.ones(1), S_test=5, seed=7)
+    tr_b.train(20, 0.02, "adam", verbose_each=0)
+    tr_b.save(str(tmp_path))
+    tr_c = Trainer(spec, copy(params), mk(), Y_std=np.ones(1), S_test=5,
+                   seed=999)  # wrong seed on purpose; restore overwrites rng
+    tr_c.restore(str(tmp_path))
+    tr_c.train(20, 0.02, "adam", verbose_each=0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(tr_a.params),
+                    jax.tree_util.tree_leaves(tr_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_graft_entry_single():
     import sys, os
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

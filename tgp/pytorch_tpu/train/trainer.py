@@ -466,6 +466,50 @@ class Trainer:
                                                       ds.X)
         return self
 
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (capability the reference lacks, SURVEY.md §5)
+    # ------------------------------------------------------------------
+    def save(self, path: str, step: int | None = None,
+             async_save: bool = False):
+        """Checkpoint the full training state: params, carried optimizer
+        moments, and the rng stream position — enough for `restore` to
+        continue a run bit-exactly (provided the remaining epochs use the
+        same chunking, which holds for the default chunk size)."""
+        import pickle
+        from .checkpoint import save_checkpoint
+        # the shuffle rng position matters for bit-exact resume: a fresh
+        # loader would replay the first epoch's permutation, changing the
+        # summation order of every batch
+        loader_state = np.frombuffer(
+            pickle.dumps(self.train_loader._rng.bit_generator.state),
+            np.uint8).copy()
+        return save_checkpoint(
+            path, self.params, step=len(self.loss_curve) if step is None else step,
+            opt_state=getattr(self, "_opt_state_carry", None),
+            extra={"rng": self._rng,
+                   "fully_bayesian": np.asarray(self.fully_bayesian),
+                   "loader_state": loader_state},
+            async_save=async_save)
+
+    def restore(self, path: str, step: int | None = None):
+        """Load a checkpoint written by `save` into this Trainer."""
+        from .checkpoint import load_checkpoint
+        params, opt_state, step, extra = load_checkpoint(path, step)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        if opt_state is not None:
+            self._opt_state_carry = opt_state
+        self._rng = jnp.asarray(extra["rng"])
+        self.fully_bayesian = bool(extra["fully_bayesian"])
+        if "loader_state" in extra:
+            import pickle
+            self.train_loader._rng.bit_generator.state = pickle.loads(
+                bytes(np.asarray(extra["loader_state"])))
+        if self.mesh is not None:
+            from ..parallel import param_sharding
+            self.params = jax.device_put(
+                self.params, param_sharding(self.spec, self.params, self.mesh))
+        return step
+
     def _build_phase_optimizer(self, specs, lr_ALL, opt, frozen,
                                clip_norm=None):
         """Per-phase optimizer.
