@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cmath>
 #include <fcntl.h>
+#include <locale.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
@@ -83,13 +84,21 @@ int tgp_csv_shape(const char* path, char sep, int ws_mode, int64_t* rows,
 static void parse_chunk(const char* buf, size_t begin, size_t end, size_t n,
                         char sep, int ws_mode, int64_t cols, double* out,
                         const int64_t* row_offsets, int64_t row_begin,
-                        int64_t row_end) {
+                        int64_t row_end, locale_t c_loc,
+                        std::atomic<int>* err) {
   (void)begin; (void)end; (void)n;
   for (int64_t r = row_begin; r < row_end; ++r) {
     const char* p = buf + row_offsets[r];
     for (int64_t c = 0; c < cols; ++c) {
       char* q;
-      out[r * cols + c] = strtod(p, &q);
+      // strtod_l with an explicit C locale: plain strtod is
+      // LC_NUMERIC-dependent (a comma-decimal locale would silently
+      // misparse md5-pinned dot-decimal corpora)
+      out[r * cols + c] = strtod_l(p, &q, c_loc);
+      if (q == p) {  // malformed/empty field: error out, never silently 0.0
+        err->store(1, std::memory_order_relaxed);
+        return;
+      }
       p = q;
       if (ws_mode) {
         while (*p == ' ' || *p == '\t') ++p;
@@ -125,17 +134,21 @@ int tgp_csv_parse(const char* path, char sep, int ws_mode, double* out,
 
   if (n_threads <= 0) n_threads = (int)std::thread::hardware_concurrency();
   if (n_threads < 1) n_threads = 1;
+  locale_t c_loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+  if (c_loc == (locale_t)0) { munmap((void*)buf, n); return -5; }
+  std::atomic<int> err(0);
   std::vector<std::thread> workers;
   int64_t per = (rows + n_threads - 1) / n_threads;
   for (int t = 0; t < n_threads; ++t) {
     int64_t rb = t * per, re = std::min<int64_t>(rows, rb + per);
     if (rb >= re) break;
     workers.emplace_back(parse_chunk, buf, 0, 0, n, sep, ws_mode, cols, out,
-                         offsets.data(), rb, re);
+                         offsets.data(), rb, re, c_loc, &err);
   }
   for (auto& w : workers) w.join();
+  freelocale(c_loc);
   munmap((void*)buf, n);
-  return 0;
+  return err.load() ? -6 : 0;  // nonzero -> python falls back to pandas
 }
 
 // ---------------------------------------------------------------------------

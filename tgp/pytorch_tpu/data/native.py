@@ -26,8 +26,13 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+        src = os.path.join(_NATIVE_DIR, "tgpdata.cc")
+        stale = (not os.path.exists(_LIB_PATH)
+                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+        if stale:
+            # rebuild whenever the source is newer than the library — a
+            # stale or foreign-arch binary must never be silently loaded
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-sB"], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.tgp_csv_shape.argtypes = [ctypes.c_char_p, ctypes.c_char,

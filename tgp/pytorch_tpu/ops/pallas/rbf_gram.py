@@ -117,7 +117,15 @@ def _bwd(res, g):
     col = jnp.sum(gK, axis=-2)                                   # (Dy, M)
     dX1 = jnp.einsum("dnm,dmk->dnk", gK, X2s) - row[..., None] * X1s
     dX2 = jnp.einsum("dnm,dnk->dmk", gK, X1s) - col[..., None] * X2s
-    dks = jnp.sum(g * (K / ks[:, None, None]), axis=(-2, -1))
+    # dK/dks = exp(-0.5 d2), recomputed directly rather than as K/ks:
+    # ks = softplus(raw) underflows to 0.0 in fp32 for very negative raw,
+    # where the division would emit inf/NaN (and a max-guard would zero the
+    # gradient, stranding ks) while the non-Pallas path stays exact
+    d2 = jnp.maximum(
+        jnp.sum(jnp.square(X1s), -1)[..., :, None]
+        + jnp.sum(jnp.square(X2s), -1)[..., None, :]
+        - 2.0 * jnp.einsum("dnk,dmk->dnm", X1s, X2s), 0.0)
+    dks = jnp.sum(g * jnp.exp(-0.5 * d2), axis=(-2, -1))
     return dX1, dX2, dks
 
 
