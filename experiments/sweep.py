@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(__file__))
 import exp_config as EC
 
 
-def run_one(model, dataset, seed, M, epochs, precision, suite):
+def run_one(model, dataset, seed, M, epochs, precision, suite,
+            arch_override=None):
     import numpy as np
     from tgp.pytorch_tpu import config as cfg
     cfg.set_precision(precision)
@@ -61,12 +62,15 @@ def run_one(model, dataset, seed, M, epochs, precision, suite):
                        inference="MC_dropout")
             flow_spec, flow_inits = spec_from_list(fl)
         else:
-            arch, nb, ns = table[dataset]
+            arch, nb, ns = (arch_override if arch_override is not None
+                            else table[dataset])
             if arch.startswith("Step"):
                 gen = getattr(G, arch)
+                make = ((lambda: gen(nb, add_f0=True)) if ns is None
+                        else (lambda: gen(nb, ns, add_f0=True)))
                 y = dc["Y_tr"]
                 flow_spec, fitted, _ = fit_flow_to_identity(
-                    lambda: gen(nb, ns, add_f0=True),
+                    make,
                     float(np.min(y)) - 1, float(np.max(y)) + 1,
                     num_epochs=2000)
             elif arch in ("SAL", "ArcSL", "BoxCoxL", "InverseBoxCoxL", "Affine"):
@@ -154,7 +158,16 @@ def main():
     p.add_argument("--epochs", type=int, default=15000)
     p.add_argument("--precision", default="fp32")
     p.add_argument("--out", default=None)
+    p.add_argument("--arch", default=None,
+                   help="override the TGP flow arch table: NAME:NUM_BLOCKS"
+                        "[:NUM_STEPS], e.g. StepAllL:2 or StepTanhL:10:2")
     args = p.parse_args()
+
+    arch_override = None
+    if args.arch:
+        parts = args.arch.split(":")
+        arch_override = (parts[0], int(parts[1]),
+                         int(parts[2]) if len(parts) > 2 else None)
 
     if args.datasets is None:
         args.datasets = {
@@ -168,7 +181,9 @@ def main():
             args.models, args.datasets, args.seeds, args.num_inducing):
         try:
             rec = run_one(model, ds, seed, M, args.epochs, args.precision,
-                          args.suite)
+                          args.suite, arch_override=arch_override)
+            if arch_override:
+                rec["arch"] = args.arch
         except FileNotFoundError as e:
             rec = {"model": model, "dataset": ds, "seed": seed, "M": M,
                    "error": str(e)}
