@@ -1,0 +1,246 @@
+"""Roofline / MFU evidence for the hot TGP ops on one TPU v5e chip.
+
+Times each stage of the training step in isolation (scan-compiled
+repetition inside one jit, so the remote-tunnel dispatch latency is
+amortised and cannot pollute sub-ms ops), reports achieved FLOP/s against
+the v5e ceilings, and prints XLA's own cost_analysis FLOP count for the
+full step (the honest MFU numerator).
+
+Stages follow SURVEY.md §3.2's hot-spot list: Gram products, K_zz Cholesky,
+triangular solves, the quadrature+flow+log-pdf chain, LSE reduction.
+
+v5e-1 ceilings used (per chip): 197 TFLOP/s bf16 matmul; fp32 contractions
+under jax_default_matmul_precision='highest' execute as 6 bf16 passes
+(~33 TFLOP/s effective); HBM ~819 GB/s.
+
+Usage:  python benchmarks/roofline.py [--platform cpu] [--bf16]
+Emits one JSON line per stage plus a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+BF16_PEAK = 197e12
+FP32_PEAK = BF16_PEAK / 6.0
+HBM_BW = 819e9
+
+
+def timed(fn, x, repeats, warmup=2):
+    """Per-iteration wall clock via a TWO-POINT scan difference.
+
+    The op is repeated inside one jitted lax.scan (live data dependency: no
+    DCE, no per-iteration dispatch), at lengths R and 4R; the per-iteration
+    time is (T_4R - T_R) / 3R, which cancels the fixed per-program cost
+    exactly — measured at ~30 ms on the remote axon tunnel, enough to
+    swamp any sub-ms op if naively divided out."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_loop(R):
+        @jax.jit
+        def loop(x0):
+            def body(carry, _):
+                return fn(x0, carry), ()
+            out, _ = jax.lax.scan(
+                body,
+                jnp.zeros((), x.dtype if hasattr(x, "dtype") else jnp.float32),
+                None, length=R)
+            return out
+        return loop
+
+    totals = []
+    for R in (repeats, 4 * repeats):
+        loop = make_loop(R)
+        for _ in range(warmup):
+            loop(x).block_until_ready()
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loop(x).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        totals.append(best)
+    return max((totals[1] - totals[0]) / (3 * repeats), 1e-9)
+
+
+def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tgp.pytorch_tpu import config as cfg
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.ops.linalg import safe_cholesky, tril_solve
+    from tgp.pytorch_tpu.models import tgp as Mm
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+
+    rng = np.random.RandomState(0)
+    X = np.asarray(rng.randn(N, Dx), cfg.default_dtype())
+    Y = np.asarray(rng.randn(N, Dy), cfg.default_dtype())
+    Z0 = X[:M]
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(2))
+    spec = Mm.TGPSpec(Dy=Dy, Dx=Dx, M=M, N=float(N),
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", Dy,
+                                                quad_points=quad),
+                      flow=fspec)
+    params = Mm.init_tgp_params(
+        spec, X, Z0, variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+        noise_init=0.05, flow_inits=finits)
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+    X3 = jnp.broadcast_to(Xd[None], (Dy, N, Dx))
+    Z3 = jnp.asarray(params["Z"])
+    kp = params["kernel"]
+
+    Kzz = K.gram(spec.kernel, kp, Z3, Z3)
+    Kxz = K.gram(spec.kernel, kp, X3, Z3)
+    L, _ = safe_cholesky(Kzz + 1e-6 * jnp.eye(M))
+    mu, var = Mm.marginal_qf(spec, params, X3, diagonal=True)
+
+    mm_peak = BF16_PEAK if bf16 else FP32_PEAK
+    stages = []
+
+    def add(name, sec, flops=None, bytes_=None, bound=None):
+        rec = {"config": cfg_name, "stage": name, "us": round(sec * 1e6, 1)}
+        if flops:
+            rec["tflops_per_s"] = round(flops / sec / 1e12, 2)
+            rec["pct_matmul_peak"] = round(100 * flops / sec / mm_peak, 1)
+        if bytes_:
+            rec["GBps"] = round(bytes_ / sec / 1e9, 1)
+            rec["pct_hbm_peak"] = round(100 * bytes_ / sec / HBM_BW, 1)
+        if bound:
+            rec["bound"] = bound
+        stages.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    dt_bytes = np.dtype(np.float32).itemsize
+
+    # 1. Gram K_xz (the matmul-dominated op; Pallas-fused forward)
+    t = timed(lambda x0, c: jnp.sum(
+        K.gram(spec.kernel, kp, X3 + c * 0, Z3)) * 1e-30, Xd, repeats)
+    add("gram_xz", t, flops=2.0 * Dy * N * M * Dx,
+        bytes_=dt_bytes * Dy * (N * Dx + M * Dx + N * M), bound="HBM (K write)")
+
+    # 2. K_zz Gram + Cholesky
+    t = timed(lambda x0, c: jnp.sum(safe_cholesky(
+        K.gram(spec.kernel, kp, Z3 + c * 0, Z3)
+        + 1e-6 * jnp.eye(M))[0]) * 1e-30, Xd, repeats)
+    add("gram_zz+cholesky", t, flops=Dy * (2.0 * M * M * Dx + M ** 3 / 3.0),
+        bound="latency (M^3/3 serial panels)")
+
+    # 3. whitened solves + S-product (marginal covariance path)
+    def solves(x0, c):
+        rhs = tril_solve(L, jnp.swapaxes(Kxz, 1, 2) + c * 0)
+        s = jnp.sum(rhs * rhs, axis=1)
+        return (jnp.sum(s)) * 1e-30
+    t = timed(solves, Xd, repeats)
+    add("tri_solve(L, K_zx)+diag", t, flops=Dy * (1.0 * N * M * M + 2.0 * N * M),
+        bound="MXU (triangular, half-utilised)")
+
+    # 4. quadrature + flow-warp + log-pdf + reduce (the ELL chain)
+    from tgp.pytorch_tpu.likelihoods.gaussian import gaussian_flow_ell
+    warp = Mm._make_warp(spec, params, X3, None, stochastic=False)
+
+    def ell_chain(x0, c):
+        e = gaussian_flow_ell(spec.likelihood, params["likelihood"],
+                              Yd.T, mu + c * 0, var, warp)
+        return jnp.sum(e) * 1e-30
+    t = timed(ell_chain, Xd, repeats)
+    add("quad+flow+logpdf+LSE", t,
+        flops=quad * Dy * N * 40.0,
+        bytes_=dt_bytes * (quad * Dy * N),  # one fused pass over (S,Dy,N)
+        bound="VPU/HBM elementwise")
+
+    # 5. full ELBO forward
+    t = timed(lambda x0, c: Mm.elbo(spec, params, Xd + c * 0, Yd)[0] * 1e-30,
+              Xd, repeats)
+    add("elbo_forward", t)
+
+    # 6. full train step (fwd+bwd+adam), plus XLA's own FLOP count
+    opt = optax.adam(0.01)
+    ost = opt.init(params)
+
+    def step(p, s, x, y):
+        g = jax.grad(lambda pp: -Mm.elbo(spec, pp, x, y)[0])(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    compiled = jax.jit(step).lower(params, ost, Xd, Yd).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    xla_flops = float(ca.get("flops", 0.0))
+
+    # scan-compiled steps, two-point difference (same as `timed`)
+    def make_steps(R):
+        @jax.jit
+        def loop(p, s):
+            def body(carry, _):
+                pp, ss = carry
+                pp, ss = step(pp, ss, Xd, Yd)
+                return (pp, ss), ()
+            (p, s), _ = jax.lax.scan(body, (p, s), None, length=R)
+            return p, s
+        return loop
+
+    totals = []
+    R0 = 20
+    for R in (R0, 4 * R0):
+        loop = make_steps(R)
+        jax.block_until_ready(loop(params, ost))
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(params, ost))
+            best = min(best, time.perf_counter() - t0)
+        totals.append(best)
+    best = max((totals[1] - totals[0]) / (3 * R0), 1e-9)
+    add("train_step(fwd+bwd+adam)", best, flops=xla_flops,
+        bound=f"XLA cost_analysis flops={xla_flops:.3g}")
+    return stages
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 Gram matmul inputs (cfg precision 'bf16')")
+    ap.add_argument("--repeats", type=int, default=50)
+    ap.add_argument("--trace_dir", default=None,
+                    help="also capture a jax.profiler trace of the step")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from tgp.pytorch_tpu import config as cfg
+    cfg.set_precision("bf16" if args.bf16 else "fp32")
+
+    configs = [("power_M100", 8611, 100, 1, 4, 100),
+               ("large_N65536_M512", 65536, 512, 1, 8, 100)]
+    all_stages = []
+    for (name, N, M, Dy, Dx, quad) in configs:
+        if args.trace_dir:
+            import jax
+            with jax.profiler.trace(os.path.join(args.trace_dir, name)):
+                all_stages += run(name, N, M, Dy, Dx, quad, args.bf16,
+                                  args.repeats)
+        else:
+            all_stages += run(name, N, M, Dy, Dx, quad, args.bf16,
+                              args.repeats)
+    print(json.dumps({"summary": "roofline", "precision":
+                      "bf16-matmul" if args.bf16 else "fp32-highest",
+                      "stages": len(all_stages)}))
+
+
+if __name__ == "__main__":
+    main()
