@@ -92,3 +92,62 @@ def test_elbo_matches_independent_torch_implementation():
                          0.05, 1e-5, sal)
     # N/MB factor is 1 (full batch); fp64 agreement should be tight
     np.testing.assert_allclose(ours, theirs, rtol=1e-8)
+
+
+def test_elbo_gradients_match_torch_replica():
+    """Training-dynamics parity: d(-ELBO)/d(params) agrees with torch
+    autograd through the faithful replica (tools/torch_replica.py) at
+    identical parameter values — the quantity Adam actually consumes."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.torch_replica import SparseTGP, sal_flow
+
+    rng = np.random.RandomState(1)
+    N, Dx, Mi = 36, 3, 6
+    X = rng.randn(N, Dx)
+    Y = rng.randn(N, 1)
+    Z = X[:Mi].copy()
+
+    # torch side
+    tm = SparseTGP(Dx, Mi, N, Z, sal_flow(2), quad_points=64)
+    elbo_t, _, _ = tm.elbo(torch.tensor(X), torch.tensor(Y))
+    (-elbo_t).backward()
+    tgrads = {n: p.grad.detach().numpy() for n, p in tm.named_parameters()}
+
+    # jax side (same init values by construction)
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(2))
+    spec = M.TGPSpec(Dy=1, Dx=Dx, M=Mi, N=float(N),
+                     kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                               quad_points=64), flow=fspec)
+    params = M.init_tgp_params(spec, X, Z, variance_scale=1e-5,
+                               kernel_init={"length_scale": 2.0,
+                                            "kernel_scale": 2.0},
+                               noise_init=0.05, flow_inits=finits)
+    import jax
+    g = jax.grad(lambda p: -M.elbo(spec, p, jnp.asarray(X),
+                                   jnp.asarray(Y))[0])(params)
+
+    pairs = [
+        ("Z", np.asarray(g["Z"])[0], tgrads["Z"][0]),
+        ("q_mu", np.asarray(g["q_mu"])[0], tgrads["q_mu"][0]),
+        # torch parameterises the full q_L matrix but only the tril acts
+        ("q_L", np.tril(np.asarray(g["q_L"])[0]), np.tril(tgrads["q_L"][0])),
+        ("raw_ls", np.asarray(
+            g["kernel"]["child"]["raw_lengthscale"]).reshape(-1),
+         tgrads["raw_ls"].reshape(-1)),
+        ("raw_ks", np.asarray(g["kernel"]["raw_outputscale"]).reshape(-1),
+         tgrads["raw_ks"].reshape(-1)),
+        ("log_noise", np.asarray(
+            g["likelihood"]["log_var_noise"]).reshape(-1),
+         tgrads["log_var_noise"].reshape(-1)),
+    ]
+    for name, a, b in pairs:
+        # the two stacks order the quadrature/batch reductions differently;
+        # measured agreement is ~5e-7 relative (pure fp64 rounding — the
+        # ELBO values themselves differ by ~1e-8 relative).  A formula error
+        # would show at >=1e-2.
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"gradient mismatch: {name}")
