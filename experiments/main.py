@@ -39,6 +39,10 @@ def parse_args():
     p.add_argument("--S_test", type=int, default=100)
     p.add_argument("--verbose_each", type=int, default=100)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--mesh", default=None, metavar="DPxTY",
+                   help="multi-chip training mesh, e.g. '4x2' = 4-way data "
+                        "parallel x 2-way output parallel (dp*ty must equal "
+                        "the device count; see parallel/mesh.py)")
     return p.parse_args()
 
 
@@ -150,7 +154,14 @@ def run(args):
     schedule = ([1.0], [specs])
 
     # ---- train (main.py:290-298) -----------------------------------------
-    trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test)
+    mesh = None
+    if args.mesh:
+        from tgp.pytorch_tpu.parallel import make_mesh
+        dp, ty = (int(v) for v in args.mesh.lower().split("x"))
+        mesh = make_mesh(dp=dp, ty=ty)
+        print(f"==== training on a {dp}x{ty} (dp x ty) device mesh ====")
+    trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test,
+                      mesh=mesh)
     t0 = time.time()
     trainer.train(args.epochs, args.lr, "adam",
                   optimisation_schedule=schedule,
