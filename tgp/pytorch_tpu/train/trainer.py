@@ -549,6 +549,11 @@ class Trainer:
 
             return _optax.GradientTransformation(init_fn, update_fn)
 
+        # NON-adam branch: optimizer state RESETS at every phase boundary
+        # (each phase compiles its own optax program).  The reference
+        # instead appends param groups to one live torch optimizer
+        # (trainer_base.py:271-318), carrying moments for pre-existing
+        # groups; only the grouped-adam path above reproduces that.
         optimizer, _ = build_grouped_optimizer(
             self.params, specs, lr_ALL, opt, frozen_labels=frozen)
         if clip_norm is not None:
