@@ -108,6 +108,15 @@ class TGPSpec:
     #: (M, MB) solve and (S, Dy, MB) quadrature intermediates alive — the
     #: HBM lever for large-M / large-batch (airline-scale) training.
     remat: bool = False
+    #: materialise L^{-1} once (one (M,M) trsm) and turn the O(N M^2)
+    #: triangular solves into plain GEMMs.  Triangular solves run the MXU
+    #: at ~half efficiency with serial panel dependencies (measured 42% of
+    #: peak at M=512, benchmarks/roofline.py); a GEMM against L^{-1} runs at
+    #: full MXU rate in both forward and backward.  Numerically this squares
+    #: nothing (same kappa(L) amplification as trsm) but loses trsm's
+    #: element-order guarantees — keep False for fp64 parity runs, enable
+    #: for large-M fp32 throughput.
+    fast_solves: bool = False
 
     @property
     def has_flow(self) -> bool:
@@ -302,10 +311,17 @@ def marginal_qf(spec: TGPSpec, params, X, *, diagonal: bool = True):
     Kzx = jnp.swapaxes(Kxz, -1, -2)               # (Dy, M, MB)
 
     if spec.whiten:
+        if spec.fast_solves:
+            # one (M,M) trsm for L^{-1}, then GEMMs (full-rate MXU path)
+            eye = jnp.broadcast_to(jnp.eye(M, dtype=L.dtype), L.shape)
+            Linv = tril_solve(L, eye)             # (Dy, M, M)
+            sol = jnp.einsum("dmk,dmo->dko", Linv, q_mu[..., None])
+            rhs = jnp.einsum("dkm,dmn->dkn", Linv, Kzx)
+        else:
+            sol = triu_solve(jnp.swapaxes(L, -1, -2), q_mu[..., None])
+            rhs = tril_solve(L, Kzx)              # (Dy, M, MB) = L^{-1} K_zx
         # mu = K_xz L^{-T} m + mu_x
-        sol = triu_solve(jnp.swapaxes(L, -1, -2), q_mu[..., None])
         mu = jnp.einsum("dnm,dmo->dn", Kxz, sol) + mu_x
-        rhs = tril_solve(L, Kzx)                  # (Dy, M, MB) = L^{-1} K_zx
         A = jnp.einsum("dmk,dmn->dkn", Lq, rhs)   # Lq^T rhs
         if diagonal:
             Kxx = kernels_mod.gram_diag(spec.kernel, kp, X, same=True)
@@ -443,6 +459,9 @@ def finalize_batch_norm(spec: TGPSpec, params, X):
     Call once after training and before evaluation (the Trainer does this
     automatically).  The functional replacement for torch's running-average
     BN state, which only ever matters at eval time."""
+    if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
+        from . import deep
+        return deep.finalize_batch_norm(spec, params, X)
     if not spec.has_bn_flow:
         return params
     from ..flows.core import finalize_bn
@@ -476,6 +495,9 @@ def elbo(spec: TGPSpec, params, X, Y, rng: Optional[jax.Array] = None):
            likelihood is categorical (MC ELL).
     Returns (elbo, ell, kld) — all scalars, elbo positive (maximise).
     """
+    if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
+        from . import deep
+        return deep.elbo(spec, params, X, Y, rng)
     MB = X.shape[0]
     X3 = _ensure_3d(spec, X)
     qf = marginal_qf
@@ -533,6 +555,9 @@ def predictive_distribution(spec: TGPSpec, params, X, *, S_MC: int = 1,
     mixture moments (sparse_MF_SP.py:499-528).
     Returns (m1, m2, mu_f, var_f); m2 is None for classification.
     """
+    if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
+        from . import deep
+        return deep.predictive_distribution(spec, params, X, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=rng)
     X3 = _ensure_3d(spec, X)
     mu, var = marginal_qf(spec, params, X3, diagonal=True)
     lik = spec.likelihood
@@ -615,6 +640,9 @@ def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
         and S_MC MC-dropout samples (Bayesian, sparse_MF_SP.py:764-768).
       * classification: sum of log predicted probability of the true class.
     """
+    if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
+        from . import deep
+        return deep.test_log_likelihood(spec, params, X, Y, Y_std, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=rng)
     MB = X.shape[0]
     X3 = _ensure_3d(spec, X)
     lik = spec.likelihood
@@ -731,6 +759,9 @@ def sample_predictive(spec: TGPSpec, params, X, S: int, rng,
     reference: code/dsp/models/sparse_MF_SP.py:939-992.
     Returns (y_samples, fk, f0) with y (Dy, S, MB).
     """
+    if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
+        from . import deep
+        return deep.sample_predictive(spec, params, X, S, rng, fully_bayesian)
     rng, sub = jax.random.split(rng)
     fk, _, _, f0 = sample_marginal(spec, params, X, S, sub, fully_bayesian)
     lik = spec.likelihood

@@ -47,7 +47,9 @@ def frozen_param_labels(spec: TGPSpec, params):
             hyper_prefixes.add(p.split("/net_")[0])
 
     def is_frozen(path):
-        if spec.mean == "identity" and path.startswith("mean/"):
+        # identity-mean projection W (only the identity mean stores a 'W'
+        # leaf) — frozen at any depth, incl. per-layer deep params
+        if path.endswith("mean/W"):
             return True
         if path.endswith("/bn/mean") or path.endswith("/bn/var"):
             # hypernet batch-norm statistics: set by finalize_batch_norm
