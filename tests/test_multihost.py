@@ -1,0 +1,109 @@
+"""Multi-process (multi-host / DCN) training: a REAL 2-process jax cluster
+(gloo collectives, 4 virtual CPU devices each = 8 global) trains through
+the ordinary Trainer API and must (a) hold identical global state on every
+process and (b) reproduce the single-process 8-device mesh run.
+
+The reference has no distributed tier at all (SURVEY.md §2.3); this is the
+new framework's DCN capability, tested without pod hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "multihost_train.py")
+
+EPOCHS = 40
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_cluster(num_processes=2, extra=()):
+    port = _free_port()
+    procs = []
+    for pid in range(num_processes):
+        env = dict(os.environ)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER,
+             "--process_id", str(pid),
+             "--num_processes", str(num_processes),
+             "--port", str(port),
+             "--epochs", str(EPOCHS), *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        outs.append(json.loads(line))
+    return outs
+
+
+def _single_process_reference():
+    """The same model/data trained on this process's virtual 8-device mesh."""
+    import jax
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as Mm
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    N, Dy = 256, 1
+    X = np.asarray(rng.randn(N, 3), np.float32)
+    W = rng.randn(3, Dy)
+    Y = np.asarray(np.sinh(0.8 * X @ W) + 0.1 * rng.randn(N, Dy), np.float32)
+    Xte = np.asarray(rng.randn(64, 3), np.float32)
+    Yte = np.asarray(np.sinh(0.8 * Xte @ W) + 0.1 * rng.randn(64, Dy),
+                     np.float32)
+
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(1))
+    spec = Mm.TGPSpec(Dy=Dy, Dx=3, M=8, N=float(N),
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", Dy,
+                                                quad_points=20),
+                      flow=fspec)
+    params = Mm.init_tgp_params(
+        spec, X, X[:8].copy(), variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+        noise_init=0.05, flow_inits=finits)
+    loaders = [DataLoader(ArrayDataset(X, Y), N, seed=7),
+               DataLoader(ArrayDataset(Xte, Yte), N, shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(Dy), seed=3,
+                 mesh=make_mesh(dp=8, ty=1))
+    tr.train(EPOCHS, 0.01, "adam", verbose_each=0)
+    return float(tr.loss_curve[-1])
+
+
+@pytest.mark.skipif(os.environ.get("TGP_SKIP_MULTIHOST") == "1",
+                    reason="multi-process cluster test disabled")
+def test_two_process_cluster_matches_single_process():
+    outs = _spawn_cluster()
+    # (a) every process holds the identical global program state
+    assert outs[0]["devices"] == 8
+    assert outs[0]["param_md5"] == outs[1]["param_md5"]
+    assert outs[0]["elbo"] == outs[1]["elbo"]
+    assert np.isfinite(outs[0]["elbo"])
+    # (b) the 2-process x 4-device run reproduces the single-process
+    # 8-device mesh run (same global device count; only the cross-process
+    # collective implementation differs -> reduction-order noise at most)
+    ref = _single_process_reference()
+    assert np.isclose(outs[0]["elbo"], ref, rtol=2e-3), (outs[0]["elbo"], ref)

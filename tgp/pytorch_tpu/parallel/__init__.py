@@ -6,3 +6,4 @@ from .mesh import (
     shard_batch,
     make_sharded_train_step,
 )
+from . import multihost

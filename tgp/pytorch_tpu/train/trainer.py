@@ -96,13 +96,26 @@ class Trainer:
                  seed: int = 0, track_fn=None, mesh=None):
         self.spec = spec
         self.mesh = mesh
+        self._multihost = False
         if mesh is not None:
             # dp x ty multi-chip training (parallel/mesh.py): parameters are
             # placed with their mesh sharding once; jit propagates it through
             # the scan fast paths, and the optimizer state (zeros_like on the
             # sharded leaves) inherits it.  Batches are dp-sharded at upload.
             from ..parallel import param_sharding
-            params = jax.device_put(params, param_sharding(spec, params, mesh))
+            from ..parallel.multihost import is_multihost
+            self._multihost = is_multihost(mesh)
+            shardings = param_sharding(spec, params, mesh)
+            if self._multihost:
+                # multi-process (DCN) placement: every process passes its
+                # process-local view; params are never dp-sharded, so the
+                # local view is the full leaf (parallel/multihost.py)
+                params = jax.tree_util.tree_map(
+                    lambda x, sh: jax.make_array_from_process_local_data(
+                        sh, np.asarray(x), np.shape(x)),
+                    params, shardings)
+            else:
+                params = jax.device_put(params, shardings)
         self.params = params
         self.loaders = data_loaders
         self.train_loader = data_loaders[0]
@@ -131,15 +144,32 @@ class Trainer:
     # ------------------------------------------------------------------
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
-        return sub
+        # multi-process: hand jit a host array so it is auto-replicated
+        # (a committed local device array would conflict with global args)
+        return np.asarray(sub) if self._multihost else sub
 
     def _put_batch(self, *arrays):
         """Upload batch arrays; dp-sharded across the mesh when one is set.
 
         A batch whose row count does not divide the 'dp' axis is left
         replicated (NamedSharding requires divisibility) — XLA still gets
-        the 'ty' parallelism from the parameter shardings."""
-        arrays = tuple(jnp.asarray(a, cfg.default_dtype()) for a in arrays)
+        the 'ty' parallelism from the parameter shardings.
+
+        Multi-process meshes (parallel/multihost.py): arrays arrive
+        host-replicated (every process loads the same data, the seeded
+        loaders guarantee it); each process contributes only its 'dp' row
+        block, so no process materialises more than its shard."""
+        dtype = cfg.default_dtype()
+        if self._multihost:
+            from ..parallel.multihost import global_batch, replicate_global
+            arrays = tuple(np.asarray(a, dtype) for a in arrays)
+            # 'dp' is process-major (a multiple of the process count), so
+            # dp-divisibility implies the per-process row blocks are even
+            if arrays[0].shape[0] % self.mesh.shape["dp"] == 0:
+                return global_batch(self.mesh, *arrays)
+            out = tuple(replicate_global(self.mesh, a) for a in arrays)
+            return out if len(out) > 1 else out[0]
+        arrays = tuple(jnp.asarray(a, dtype) for a in arrays)
         if self.mesh is not None and arrays[0].shape[0] % self.mesh.shape["dp"] == 0:
             from ..parallel import shard_batch
             return shard_batch(self.mesh, *arrays) if len(arrays) > 1 else \
@@ -403,8 +433,15 @@ class Trainer:
                 run_epoch = self._make_minibatch_scan(optimizer, MB)
                 # the resident dataset stays replicated (each chip gathers its
                 # own dp shard of every shuffled batch locally)
-                Xd = jnp.asarray(ds.X, cfg.default_dtype())
-                Yd = jnp.asarray(ds.Y, cfg.default_dtype())
+                if self._multihost:
+                    from ..parallel.multihost import replicate_global
+                    Xd = replicate_global(self.mesh,
+                                          np.asarray(ds.X, cfg.default_dtype()))
+                    Yd = replicate_global(self.mesh,
+                                          np.asarray(ds.Y, cfg.default_dtype()))
+                else:
+                    Xd = jnp.asarray(ds.X, cfg.default_dtype())
+                    Yd = jnp.asarray(ds.Y, cfg.default_dtype())
                 n = ds.X.shape[0]
                 rem = n % MB
                 tail_step = self._make_train_step(optimizer) if rem else None
@@ -414,10 +451,10 @@ class Trainer:
                             if self.train_loader.shuffle else np.arange(n))
                     self.params, opt_state, curves = run_epoch(
                         self.params, opt_state, Xd, Yd,
-                        jnp.asarray(perm, jnp.int32), self._next_rng())
+                        np.asarray(perm, np.int32), self._next_rng())
                     if rem:
                         # remainder batch (the reference's drop_last=False)
-                        ids = jnp.asarray(perm[n - rem:], jnp.int32)
+                        ids = np.asarray(perm[n - rem:], np.int32)
                         self.params, opt_state, _ = tail_step(
                             self.params, opt_state,
                             jnp.take(Xd, ids, axis=0), jnp.take(Yd, ids, axis=0),
