@@ -1,0 +1,167 @@
+"""Multi-seed battery runner: the reference's seed sweep as ONE program.
+
+The reference runs each (model, dataset, M) cell as 10 serial launches,
+one per split seed (bash_scripts/launch_test_uci_medium-small_regression.sh:
+`for split in 1..10`), each paying process startup + full training time.
+Here all seeds train simultaneously via train/multiseed.py (vmap over the
+seed axis inside one jitted scan) — at paper scales the battery costs
+barely more than a single run (PARITY.md: the step is latency-bound).
+
+    python experiments/battery.py --model TGP --dataset boston \
+        --num_inducing 100 --seeds 1-10 [--epochs 15000] [--precision fp32]
+
+Supports SVGP and the generator-arch TGPs (SAL); per-seed-fitted archs
+(StepTanhL identity fit, ID hypernet anchors) still go through main.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def parse_seeds(s):
+    if "-" in s:
+        a, b = s.split("-")
+        return list(range(int(a), int(b) + 1))
+    return [int(v) for v in s.split(",")]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True, choices=["SVGP", "TGP"])
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--num_inducing", required=True, type=int)
+    p.add_argument("--seeds", default="1-10")
+    p.add_argument("--epochs", type=int, default=15000)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--precision", default="fp32")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--S_test", type=int, default=100)
+    p.add_argument("--num_blocks", type=int, default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    from tgp.pytorch_tpu import config as cfg
+    cfg.set_precision(args.precision)
+
+    import numpy as np
+    from tgp.pytorch_tpu.data import return_dataset, kmeans_centers
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
+    from tgp.pytorch_tpu.train import multiseed as ms
+    from exp_config import return_hyperparams
+
+    seeds = parse_seeds(args.seeds)
+    R = len(seeds)
+
+    # ---- per-seed splits (identical protocol to main.py) ------------------
+    Xtr, Ytr, Xte, Yte, Ystd, Z0s = [], [], [], [], [], []
+    Dy = Dx = N_tr = None
+    for s in seeds:
+        loaders, dc = return_dataset(args.dataset, 10 ** 9, None, seed=s,
+                                     options={"shuffle_train": False})
+        Dy, Dx, N_tr = dc["Dy"], dc["Dx"], dc["N_tr"]
+        Xtr.append(dc["X_tr"])
+        Ytr.append(dc["Y_tr"])
+        Xte.append(loaders[-1].dataset.X)
+        Yte.append(loaders[-1].dataset.Y)
+        Ystd.append(np.asarray(dc["Y_std"]).reshape(-1))
+        Z0s.append(kmeans_centers(dc["X_tr"], args.num_inducing, n_init=10,
+                                  seed=cfg.config_seed))
+
+    flow_spec = IDENTITY_SPEC
+    flow_inits = None
+    flow_fitted = None                    # per-seed fitted params (StepTanhL)
+    if args.model == "TGP":
+        hp = return_hyperparams(args.model, args.dataset)
+        nb = args.num_blocks or hp["num_blocks"]
+        if hp["flow_arch"] == "SAL" or args.num_blocks is not None:
+            np.random.seed(cfg.config_seed)
+            flow_spec, flow_inits = spec_from_list(G.SAL(nb))
+        elif hp["flow_arch"] == "StepTanhL":
+            # per-seed identity-fit initializer (reference main.py:168-190):
+            # each split's Y range differs, so each replica gets its own fit
+            from tgp.pytorch_tpu.flows.initializers import fit_flow_to_identity
+            flow_fitted = []
+            for r in range(R):
+                y = Ytr[r]
+                flow_spec, fitted, mse = fit_flow_to_identity(
+                    lambda: G.StepTanhL(nb, hp["num_steps"], add_f0=True),
+                    float(y.min()) - 1.0, float(y.max()) + 1.0,
+                    num_restarts=1, num_epochs=2000)
+                print(f"seed {seeds[r]}: identity-fit MSE {mse:.3e}")
+                flow_fitted.append(fitted)
+        else:
+            raise NotImplementedError(hp["flow_arch"])
+
+    lik = (LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
+           if args.model == "SVGP" else
+           LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
+                          quad_points=cfg.quad_points))
+    spec = M.TGPSpec(Dy=Dy, Dx=Dx, M=args.num_inducing, N=float(N_tr),
+                     kernel=K.from_name("scale_rbf"), likelihood=lik,
+                     flow=flow_spec, mean="zero", whiten=True)
+
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    per_seed = []
+    for r in range(R):
+        pr = M.init_tgp_params(
+            spec, Xtr[r], Z0s[r], variance_scale=1e-5, mean_scale=0.0,
+            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
+                         "noisy_variance": 1e-6},
+            noise_init=0.05, flow_inits=flow_inits)
+        if flow_fitted is not None:
+            pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy),
+                                      flow_fitted[r])
+        per_seed.append(pr)
+    params = ms.stack_trees(per_seed)
+
+    t0 = time.time()
+    params, curves = ms.train_multiseed(
+        spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
+        seed=0, verbose_each=max(args.epochs // 5, 1))
+    train_s = time.time() - t0
+
+    metrics = ms.eval_multiseed(spec, params, np.stack(Xte), np.stack(Yte),
+                                np.stack(Ystd), S_test=args.S_test)
+    nll = -metrics["logL"].mean(axis=-1)     # per-seed, averaged over Dy
+    rmse = metrics["rmse"].mean(axis=-1)
+
+    print(f"\n== {args.model} {args.dataset} M={args.num_inducing} "
+          f"{R}-seed battery: {args.epochs} epochs in {train_s:.1f}s "
+          f"({R * args.epochs / train_s:.0f} effective steps/s) ==")
+    for i, s in enumerate(seeds):
+        print(f"seed {s:2d}: NLL {nll[i]:.3f}  RMSE {rmse[i]:.3f}  "
+              f"coverage {metrics['coverage'][i].mean():.3f}")
+    print(f"mean +- std: NLL {nll.mean():.3f} +- {nll.std():.3f}   "
+          f"RMSE {rmse.mean():.3f} +- {rmse.std():.3f}")
+
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps({
+                "model": args.model, "dataset": args.dataset,
+                "M": args.num_inducing, "seeds": seeds,
+                "epochs": args.epochs, "train_s": round(train_s, 2),
+                "nll": [round(float(v), 4) for v in nll],
+                "rmse": [round(float(v), 4) for v in rmse],
+                "nll_mean": round(float(nll.mean()), 4),
+                "rmse_mean": round(float(rmse.mean()), 4),
+            }) + "\n")
+
+
+if __name__ == "__main__":
+    main()

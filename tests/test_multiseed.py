@@ -1,0 +1,123 @@
+"""Vectorized multi-seed batteries must be EXACTLY R independent runs."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tgp.pytorch_tpu import config as cfg
+from tgp.pytorch_tpu.ops import kernels as K
+from tgp.pytorch_tpu.models import tgp as Mm
+from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+from tgp.pytorch_tpu.train import multiseed as ms
+
+
+def _make_replica(r, N=64, Dy=1, M=6):
+    rng = np.random.RandomState(100 + r)
+    X = np.asarray(rng.randn(N, 2), np.float32)
+    W = rng.randn(2, Dy)
+    Y = np.asarray(np.sinh(X @ W) + 0.1 * rng.randn(N, Dy), np.float32)
+    return X, Y
+
+
+def _spec(Dy=1, M=6):
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(1))
+    spec = Mm.TGPSpec(Dy=Dy, Dx=2, M=M, N=64.0,
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", Dy,
+                                                quad_points=10),
+                      flow=fspec)
+    return spec, finits
+
+
+def _init(spec, finits, X, M):
+    return Mm.init_tgp_params(
+        spec, X, X[:M].copy(), variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+        noise_init=0.05, flow_inits=finits)
+
+
+def _single_run(spec, params, X, Y, epochs, lr, seed_key):
+    """The exact per-replica program train_multiseed claims to implement."""
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    Xd, Yd = jnp.asarray(X), jnp.asarray(Y)
+
+    @jax.jit
+    def run(p, s, key):
+        def body(carry, _):
+            p, s, key = carry
+            key, sub = jax.random.split(key)
+            g = jax.grad(lambda pp: -Mm.elbo(spec, pp, Xd, Yd, sub)[0])(p)
+            u, s = optimizer.update(g, s, p)
+            return (optax.apply_updates(p, u), s, key), ()
+        (p, s, key), _ = jax.lax.scan(body, (p, s, key), None, length=epochs)
+        return p
+
+    return run(params, opt_state, seed_key)
+
+
+def test_battery_equals_independent_runs():
+    R, M, epochs = 3, 6, 30
+    spec, finits = _spec(M=M)
+    Xs, Ys, ps = [], [], []
+    for r in range(R):
+        X, Y = _make_replica(r)
+        Xs.append(X)
+        Ys.append(Y)
+        ps.append(_init(spec, finits, X, M))
+    stack = ms.stack_trees(ps)
+    out, curves = ms.train_multiseed(
+        spec, stack, np.stack(Xs), np.stack(Ys), epochs, 0.01, seed=5)
+    assert curves["elbo"].shape == (epochs, R)
+    for r in range(R):
+        ref = _single_run(spec, ps[r], Xs[r], Ys[r], epochs, 0.01,
+                          jax.random.PRNGKey(5 + r))
+        got = ms.unstack_tree(out, r)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+
+def test_battery_eval_and_clip():
+    R, M, epochs = 2, 6, 20
+    spec, finits = _spec(M=M)
+    Xs, Ys, ps = [], [], []
+    for r in range(R):
+        X, Y = _make_replica(r)
+        Xs.append(X)
+        Ys.append(Y)
+        ps.append(_init(spec, finits, X, M))
+    stack = ms.stack_trees(ps)
+    out, _ = ms.train_multiseed(
+        spec, stack, np.stack(Xs), np.stack(Ys), epochs, 0.01, seed=5,
+        clip_norm=100.0)
+    metrics = ms.eval_multiseed(spec, out, np.stack(Xs), np.stack(Ys),
+                                np.ones((R, 1)), S_test=50)
+    assert metrics["logL"].shape == (R, 1)
+    assert metrics["rmse"].shape == (R, 1)
+    assert np.isfinite(metrics["logL"]).all()
+    assert (metrics["coverage"] >= 0).all() and (metrics["coverage"] <= 1).all()
+    # per-replica eval must equal evaluating each replica alone
+    one = ms.eval_multiseed(spec, ms.stack_trees([ms.unstack_tree(out, 1)]),
+                            Xs[1][None], Ys[1][None], np.ones((1, 1)),
+                            S_test=50)
+    np.testing.assert_allclose(one["rmse"][0], metrics["rmse"][1], rtol=1e-5)
+
+
+def test_per_replica_clip_matches_optax_per_model():
+    tx = ms.clip_by_global_norm_per_replica(0.5)
+    g1 = {"a": jnp.asarray([[3.0, 4.0]]), "b": jnp.asarray([[0.0]])}   # norm 5
+    g2 = {"a": jnp.asarray([[0.1, 0.0]]), "b": jnp.asarray([[0.2]])}   # small
+    stacked = jax.tree_util.tree_map(lambda *l: jnp.concatenate(l), g1, g2)
+    got, _ = tx.update(stacked, ())
+    ref1, _ = optax.clip_by_global_norm(0.5).update(
+        jax.tree_util.tree_map(lambda l: l[0], g1), optax.EmptyState())
+    np.testing.assert_allclose(got["a"][0], ref1["a"], rtol=1e-6)
+    # the small replica is untouched
+    np.testing.assert_allclose(got["a"][1], g2["a"][0], rtol=1e-6)

@@ -1,0 +1,189 @@
+"""Vectorized multi-seed batteries: R independent replicas in ONE program.
+
+The reference's experimental protocol runs every (dataset, model) cell as
+10 serial process launches, one per train/test split seed
+(bash_scripts/launch_test_uci_medium-small_regression.sh: `for split in
+1..10`).  On TPU that is wasteful twice over: each launch recompiles, and
+at paper scales a single training step is latency-bound, not FLOP-bound
+(PARITY.md roofline: 1.24 GFLOP/step for power M=100 — a fraction of what
+the MXU streams in the same 567 us).  Here the seed axis becomes a vmap
+axis: R replicas — each with its own split's data, z-scoring, k-means
+inducing init and parameters — advance inside one jitted scan, at close
+to the step cost of ONE model.
+
+Semantics: identical to running R separate Trainers on the full-batch
+scan path.  Adam on the stacked pytree IS per-replica Adam (every moment
+update is elementwise, nothing couples the leading axis); tested
+one-to-one in tests/test_multiseed.py.
+
+Different seeds see different splits, so X/Y/Y_std all carry the leading
+R axis; parameters are stacked with `stack_trees`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import config as cfg
+from ..models import tgp as tgp_mod
+
+
+def stack_trees(trees):
+    """Stack a list of identically-structured pytrees on a new leading axis."""
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *trees)
+
+
+def unstack_tree(tree, r):
+    """Replica r of a stacked pytree."""
+    return jax.tree_util.tree_map(lambda l: l[r], tree)
+
+
+def clip_by_global_norm_per_replica(max_norm: float):
+    """optax.clip_by_global_norm applied independently to each replica's
+    slice of the stacked pytree (a plain global-norm clip would couple the
+    replicas through one shared norm)."""
+
+    def init(params):
+        return ()
+
+    def update(updates, state, params=None):
+        sq = jax.tree_util.tree_reduce(
+            lambda acc, u: acc + jnp.sum(
+                jnp.square(u), axis=tuple(range(1, u.ndim))),
+            updates, jnp.zeros(()))
+        norm = jnp.sqrt(sq)                                  # (R,)
+        scale = jnp.where(norm < max_norm, 1.0, max_norm / norm)
+        updates = jax.tree_util.tree_map(
+            lambda u: u * scale.reshape(scale.shape + (1,) * (u.ndim - 1)),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def _optimizer(opt: str, lr: float, clip_norm):
+    from .optimizers import make_optimizer
+    tx = make_optimizer(opt, lr)
+    if clip_norm is not None:
+        tx = optax.chain(clip_by_global_norm_per_replica(clip_norm), tx)
+    return tx
+
+
+def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
+                    lr: float, opt: str = "adam", seed: int = 0,
+                    chunk: int = 2000, clip_norm=None, verbose_each: int = 0):
+    """Train R replicas full-batch for `epochs` steps, vmapped.
+
+    Args:
+      params_stack: pytree with leading R axis (see `stack_trees`), one
+        replica per split seed.
+      X_stack: (R, N, Dx); Y_stack: (R, N, Dy) float or (R, N) int labels.
+    Returns (params_stack, curves) with curves = dict of (epochs, R)
+    arrays (elbo/ell/kld), matching the Trainer's loss_curve semantics.
+    """
+    R = X_stack.shape[0]
+    dtype = cfg.default_dtype()
+    Xd = jnp.asarray(X_stack, dtype)
+    Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
+        jnp.asarray(Y_stack).dtype, jnp.integer) else jnp.asarray(Y_stack, dtype)
+    optimizer = _optimizer(opt, lr, clip_norm)
+    opt_state = optimizer.init(params_stack)
+    # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
+    rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+
+    @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
+    def run(params, opt_state, Xd, Yd, rngs, n_steps):
+        def body(carry, _):
+            p, s, keys = carry
+            split = jax.vmap(jax.random.split)(keys)       # (R, 2, 2)
+            keys, sub = split[:, 0], split[:, 1]
+
+            def loss_fn(pp):
+                e, ell, kld = jax.vmap(
+                    lambda pr, xr, yr, rr: tgp_mod.elbo(spec, pr, xr, yr, rr)
+                )(pp, Xd, Yd, sub)
+                # sum over replicas: gradients stay per-replica (independent
+                # terms), adam on the stacked pytree is per-replica adam
+                return -jnp.sum(e), (e, ell, kld)
+
+            (_, (e, ell, kld)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s, keys), (e, ell, kld)
+
+        (params, opt_state, rngs), curves = jax.lax.scan(
+            body, (params, opt_state, rngs), None, length=n_steps)
+        return params, opt_state, rngs, curves
+
+    curves_all = {"elbo": [], "ell": [], "kld": []}
+    done = 0
+    while done < epochs:
+        n = min(chunk, epochs - done)
+        params_stack, opt_state, rngs, (e, ell, kld) = run(
+            params_stack, opt_state, Xd, Yd, rngs, n)
+        done += n
+        curves_all["elbo"].append(np.asarray(e))
+        curves_all["ell"].append(np.asarray(ell))
+        curves_all["kld"].append(np.asarray(kld))
+        if not np.isfinite(curves_all["elbo"][-1][-1]).all():
+            bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
+            raise FloatingPointError(
+                f"non-finite ELBO at epoch {done} in replicas {bad.tolist()}")
+        if verbose_each and done % verbose_each == 0:
+            last = curves_all["elbo"][-1][-1]
+            print(f"| epoch {done}/{epochs}  ELBO "
+                  f"[{last.min():.3f} .. {last.max():.3f}] over {R} seeds")
+    curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
+    return params_stack, curves
+
+
+def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
+                   S_test: int = 100, seed: int = 1234,
+                   fully_bayesian: bool = False):
+    """Per-replica test metrics (the Trainer.compute_metrics definitions),
+    computed fully on-device in one vmapped call.
+
+    Returns dict of numpy arrays: logL (R, Dy) [per-point E[log p]],
+    rmse (R, Dy) [Y_std-rescaled], coverage (R, Dy) for regression;
+    logL (R,), acc (R,) for classification.
+    """
+    dtype = cfg.default_dtype()
+    R = X_stack.shape[0]
+    Xd = jnp.asarray(X_stack, dtype)
+    Yraw = jnp.asarray(Y_stack)
+    Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
+        jnp.asarray(Y_stack, dtype)
+    Ystd = jnp.asarray(Y_std_stack, dtype)
+    is_class = spec.likelihood.kind in ("bernoulli", "categorical")
+    S_MC = S_test if fully_bayesian else 1
+
+    @jax.jit
+    def kernel(params, X, Y, Y_std, rng):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        n = X.shape[0]
+        log_p = tgp_mod.test_log_likelihood(
+            spec, params, X, Y, Y_std, S_MC=S_MC,
+            fully_bayesian=fully_bayesian, rng=r1)
+        m1, _, _, _ = tgp_mod.predictive_distribution(
+            spec, params, X, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=r2)
+        if is_class:
+            pred = jnp.argmax(m1, axis=-1)
+            acc = jnp.mean((pred == Y.reshape(-1)).astype(dtype))
+            return {"logL": jnp.sum(log_p) / n, "acc": acc}
+        samples, _, _ = tgp_mod.sample_predictive(
+            spec, params, X, S_test, r3, fully_bayesian=fully_bayesian)
+        q = jnp.quantile(samples, jnp.asarray([0.025, 0.975]), axis=1)
+        inside = (Y.T >= q[0]) & (Y.T <= q[1])              # (Dy, MB)
+        rmse = Y_std * jnp.sqrt(jnp.mean((m1 - Y.T) ** 2, axis=-1))
+        return {"logL": log_p / n, "rmse": rmse,
+                "coverage": jnp.mean(inside.astype(dtype), axis=-1)}
+
+    rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    out = jax.vmap(kernel)(params_stack, Xd, Yd, Ystd, rngs)
+    return {k: np.asarray(v) for k, v in out.items()}
