@@ -44,7 +44,13 @@ def main():
     p.add_argument("--precision", default="fp32")
     p.add_argument("--platform", default=None)
     p.add_argument("--S_test", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=10000,
+                   help="reference protocol batch (code/main.py:74); the "
+                        "minibatch-SVI battery path engages when N > batch")
     p.add_argument("--num_blocks", type=int, default=None)
+    p.add_argument("--arch", default=None,
+                   help="override the sweep-table arch: NAME:NUM_BLOCKS"
+                        "[:NUM_STEPS], e.g. SAL:2 or StepTanhL:10:2")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -62,7 +68,6 @@ def main():
     from tgp.pytorch_tpu.flows import generators as G, spec_from_list
     from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
     from tgp.pytorch_tpu.train import multiseed as ms
-    from exp_config import return_hyperparams
 
     seeds = parse_seeds(args.seeds)
     R = len(seeds)
@@ -84,28 +89,37 @@ def main():
 
     flow_spec = IDENTITY_SPEC
     flow_inits = None
-    flow_fitted = None                    # per-seed fitted params (StepTanhL)
+    flow_fitted = None                    # per-seed fitted params (Step*)
     if args.model == "TGP":
-        hp = return_hyperparams(args.model, args.dataset)
-        nb = args.num_blocks or hp["num_blocks"]
-        if hp["flow_arch"] == "SAL" or args.num_blocks is not None:
-            np.random.seed(cfg.config_seed)
-            flow_spec, flow_inits = spec_from_list(G.SAL(nb))
-        elif hp["flow_arch"] == "StepTanhL":
+        import exp_config as EC
+        if args.arch:
+            parts = args.arch.split(":")
+            arch, nb = parts[0], int(parts[1])
+            ns = int(parts[2]) if len(parts) > 2 else None
+        else:
+            arch, nb, ns = EC.TGP_REGRESSION_SWEEP[args.dataset]
+            if args.num_blocks:
+                nb = args.num_blocks
+        np.random.seed(cfg.config_seed)
+        if arch.startswith("Step"):
             # per-seed identity-fit initializer (reference main.py:168-190):
             # each split's Y range differs, so each replica gets its own fit
             from tgp.pytorch_tpu.flows.initializers import fit_flow_to_identity
+            gen = getattr(G, arch)
+            make = ((lambda: gen(nb, add_f0=True)) if ns is None
+                    else (lambda: gen(nb, ns, add_f0=True)))
             flow_fitted = []
             for r in range(R):
                 y = Ytr[r]
                 flow_spec, fitted, mse = fit_flow_to_identity(
-                    lambda: G.StepTanhL(nb, hp["num_steps"], add_f0=True),
-                    float(y.min()) - 1.0, float(y.max()) + 1.0,
+                    make, float(y.min()) - 1.0, float(y.max()) + 1.0,
                     num_restarts=1, num_epochs=2000)
                 print(f"seed {seeds[r]}: identity-fit MSE {mse:.3e}")
                 flow_fitted.append(fitted)
-        else:
-            raise NotImplementedError(hp["flow_arch"])
+        elif arch in ("SAL", "ArcSL", "BoxCoxL", "InverseBoxCoxL", "Affine"):
+            flow_spec, flow_inits = spec_from_list(getattr(G, arch)(nb))
+        else:                              # chains like SAL_BCL
+            flow_spec, flow_inits = spec_from_list(G.build_chain(arch, nb))
 
     lik = (LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
            if args.model == "SVGP" else
@@ -131,9 +145,10 @@ def main():
     params = ms.stack_trees(per_seed)
 
     t0 = time.time()
-    params, curves = ms.train_multiseed(
+    params, curves = ms.train_multiseed_minibatch(
         spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
-        seed=0, verbose_each=max(args.epochs // 5, 1))
+        batch_size=args.batch_size, seed=0,
+        verbose_each=max(args.epochs // 5, 1))
     train_s = time.time() - t0
 
     metrics = ms.eval_multiseed(spec, params, np.stack(Xte), np.stack(Yte),
@@ -155,6 +170,8 @@ def main():
             f.write(json.dumps({
                 "model": args.model, "dataset": args.dataset,
                 "M": args.num_inducing, "seeds": seeds,
+                "arch": (args.arch or "table") if args.model == "TGP" else None,
+                "batch": "full" if args.batch_size >= N_tr else args.batch_size,
                 "epochs": args.epochs, "train_s": round(train_s, 2),
                 "nll": [round(float(v), 4) for v in nll],
                 "rmse": [round(float(v), 4) for v in rmse],

@@ -143,6 +143,97 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     return params_stack, curves
 
 
+def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
+                              epochs: int, lr: float, batch_size: int,
+                              opt: str = "adam", seed: int = 0,
+                              clip_norm=None, verbose_each: int = 0):
+    """Minibatch-SVI battery: R replicas, each shuffling its own split with
+    its own seeded generator (the Trainer's device-resident fast path,
+    vmapped over the seed axis).  One epoch = one device program; the only
+    per-epoch transfer is the (R, N) shuffle permutation.
+
+    Matches the reference's protocol for N > batch datasets
+    (protein/naval/year: batch 10000, code/main.py:74), including the
+    drop_last=False remainder batch.
+    """
+    R, N = X_stack.shape[0], X_stack.shape[1]
+    MB = int(batch_size)
+    if MB >= N:
+        return train_multiseed(spec, params_stack, X_stack, Y_stack, epochs,
+                               lr, opt=opt, seed=seed, clip_norm=clip_norm,
+                               verbose_each=verbose_each)
+    dtype = cfg.default_dtype()
+    Xd = jnp.asarray(X_stack, dtype)
+    Yraw = jnp.asarray(Y_stack)
+    Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
+        jnp.asarray(Y_stack, dtype)
+    optimizer = _optimizer(opt, lr, clip_norm)
+    opt_state = optimizer.init(params_stack)
+    rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    n_batches = N // MB
+    rem = N % MB
+
+    def _one_step(p, s, keys, xb, yb):
+        split = jax.vmap(jax.random.split)(keys)
+        keys, sub = split[:, 0], split[:, 1]
+
+        def loss_fn(pp):
+            e, ell, kld = jax.vmap(
+                lambda pr, xr, yr, rr: tgp_mod.elbo(spec, pr, xr, yr, rr)
+            )(pp, xb, yb, sub)
+            return -jnp.sum(e), (e, ell, kld)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, keys, aux
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run_epoch(params, opt_state, rngs, perms):
+        idx = perms[:, :n_batches * MB].reshape(R, n_batches, MB)
+        idx = jnp.swapaxes(idx, 0, 1)                       # (n_batches, R, MB)
+
+        def body(carry, ids):
+            p, s, keys = carry
+            xb = jax.vmap(lambda xr, ir: jnp.take(xr, ir, axis=0))(Xd, ids)
+            yb = jax.vmap(lambda yr, ir: jnp.take(yr, ir, axis=0))(Yd, ids)
+            p, s, keys, aux = _one_step(p, s, keys, xb, yb)
+            return (p, s, keys), aux
+
+        (params, opt_state, rngs), curves = jax.lax.scan(
+            body, (params, opt_state, rngs), idx)
+        if rem:
+            ids = perms[:, n_batches * MB:]
+            xb = jax.vmap(lambda xr, ir: jnp.take(xr, ir, axis=0))(Xd, ids)
+            yb = jax.vmap(lambda yr, ir: jnp.take(yr, ir, axis=0))(Yd, ids)
+            params, opt_state, rngs, _ = _one_step(
+                params, opt_state, rngs, xb, yb)
+        return params, opt_state, rngs, curves
+
+    gens = [np.random.Generator(np.random.PCG64(seed + 7919 * (r + 1)))
+            for r in range(R)]
+    curves_all = {"elbo": [], "ell": [], "kld": []}
+    import time as _time
+    t0 = _time.time()
+    for ep in range(epochs):
+        perms = np.stack([g.permutation(N) for g in gens]).astype(np.int32)
+        params_stack, opt_state, rngs, (e, ell, kld) = run_epoch(
+            params_stack, opt_state, rngs, perms)
+        curves_all["elbo"].append(np.asarray(e[-1]))
+        curves_all["ell"].append(np.asarray(ell[-1]))
+        curves_all["kld"].append(np.asarray(kld[-1]))
+        if not np.isfinite(curves_all["elbo"][-1]).all():
+            bad = np.where(~np.isfinite(curves_all["elbo"][-1]))[0]
+            raise FloatingPointError(
+                f"non-finite ELBO at epoch {ep + 1} in replicas {bad.tolist()}")
+        if verbose_each and (ep + 1) % verbose_each == 0:
+            last = curves_all["elbo"][-1]
+            print(f"| epoch {ep + 1}/{epochs}  ELBO "
+                  f"[{last.min():.3f} .. {last.max():.3f}] over {R} seeds "
+                  f"({(_time.time() - t0) / (ep + 1) * 1e3:.1f}ms/ep)")
+    curves = {k: np.stack(v, axis=0) for k, v in curves_all.items()}
+    return params_stack, curves
+
+
 def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
                    S_test: int = 100, seed: int = 1234,
                    fully_bayesian: bool = False):

@@ -1,0 +1,15 @@
+#!/bin/sh
+# Full-table 10-seed batteries (experiments/battery.py) on the TPU.
+# One job at a time (single chip).  Full-batch path: protein/naval exceed
+# the reference's batch 10000, so their rows are full-batch variants and
+# recorded as such (battery jsonl carries batch=full).
+set -x
+cd /root/repo
+for d in boston concrete energy kin8nm power wine_red wine_white naval protein; do
+  for m in SVGP TGP; do
+    timeout 1800 python experiments/battery.py --model $m --dataset $d \
+        --num_inducing 100 --seeds 1-10 --epochs 15000 \
+        --out results_battery.jsonl
+  done
+done
+echo BATTERIES_DONE
