@@ -35,7 +35,8 @@ def parse_seeds(s):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True, choices=["SVGP", "TGP"])
+    p.add_argument("--model", required=True,
+                   choices=["SVGP", "TGP", "ID_TGP"])
     p.add_argument("--dataset", required=True)
     p.add_argument("--num_inducing", required=True, type=int)
     p.add_argument("--seeds", default="1-10")
@@ -90,8 +91,18 @@ def main():
     flow_spec = IDENTITY_SPEC
     flow_inits = None
     flow_fitted = None                    # per-seed fitted params (Step*)
+    import exp_config as EC
+    if args.model == "ID_TGP":
+        # input-dependent SAL hypernets (ID sweep table); the anchor fit
+        # (reference main.py:193-208) runs per seed, then training is the
+        # same vmapped scan — hypernet weights are ordinary pytree leaves
+        nb, act, nh, dr, bn, width = EC.ID_TGP_REGRESSION_SWEEP[args.dataset]
+        np.random.seed(cfg.config_seed)
+        fl = G.SAL(nb, input_dependent=True, input_dim=Dx,
+                   hidden_activation=act, num_hidden_layers=nh, dropout=dr,
+                   batch_norm=bn, hidden_dim=width, inference="MC_dropout")
+        flow_spec, flow_inits = spec_from_list(fl)
     if args.model == "TGP":
-        import exp_config as EC
         if args.arch:
             parts = args.arch.split(":")
             arch, nb = parts[0], int(parts[1])
@@ -141,43 +152,65 @@ def main():
         if flow_fitted is not None:
             pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy),
                                       flow_fitted[r])
+        if args.model == "ID_TGP":
+            from tgp.pytorch_tpu.flows.initializers import (
+                fit_hypernet_to_anchors)
+            fp0 = jtu.tree_map(lambda x: x[0], pr["flow"])
+            fp0, loss = fit_hypernet_to_anchors(
+                flow_spec, fp0, [Xtr[r]], num_epochs=2000, noise_var=0.0)
+            pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), fp0)
+            print(f"seed {seeds[r]}: hypernet anchor-fit loss {loss:.3e}")
         per_seed.append(pr)
     params = ms.stack_trees(per_seed)
+
+    specs = None
+    if args.model == "ID_TGP":
+        # weight decay on hypernet weights only (reference main.py:274-288)
+        specs = [[args.lr, 1e-5, "net_"], [args.lr, 0.0, "flow"]]
 
     t0 = time.time()
     params, curves = ms.train_multiseed_minibatch(
         spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
-        batch_size=args.batch_size, seed=0,
+        batch_size=args.batch_size, seed=0, specs=specs,
         verbose_each=max(args.epochs // 5, 1))
     train_s = time.time() - t0
 
-    metrics = ms.eval_multiseed(spec, params, np.stack(Xte), np.stack(Yte),
-                                np.stack(Ystd), S_test=args.S_test)
-    nll = -metrics["logL"].mean(axis=-1)     # per-seed, averaged over Dy
-    rmse = metrics["rmse"].mean(axis=-1)
+    def report(tag, fully_bayesian):
+        metrics = ms.eval_multiseed(spec, params, np.stack(Xte),
+                                    np.stack(Yte), np.stack(Ystd),
+                                    S_test=args.S_test,
+                                    fully_bayesian=fully_bayesian)
+        nll = -metrics["logL"].mean(axis=-1)   # per-seed, averaged over Dy
+        rmse = metrics["rmse"].mean(axis=-1)
+        print(f"\n== {tag} {args.dataset} M={args.num_inducing} "
+              f"{R}-seed battery: {args.epochs} epochs in {train_s:.1f}s "
+              f"({R * args.epochs / train_s:.0f} effective steps/s) ==")
+        for i, s in enumerate(seeds):
+            print(f"seed {s:2d}: NLL {nll[i]:.3f}  RMSE {rmse[i]:.3f}  "
+                  f"coverage {metrics['coverage'][i].mean():.3f}")
+        print(f"mean +- std: NLL {nll.mean():.3f} +- {nll.std():.3f}   "
+              f"RMSE {rmse.mean():.3f} +- {rmse.std():.3f}")
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps({
+                    "model": tag, "dataset": args.dataset,
+                    "M": args.num_inducing, "seeds": seeds,
+                    "arch": ((args.arch or "table")
+                             if args.model != "SVGP" else None),
+                    "batch": ("full" if args.batch_size >= N_tr
+                              else args.batch_size),
+                    "epochs": args.epochs, "train_s": round(train_s, 2),
+                    "nll": [round(float(v), 4) for v in nll],
+                    "rmse": [round(float(v), 4) for v in rmse],
+                    "nll_mean": round(float(nll.mean()), 4),
+                    "rmse_mean": round(float(rmse.mean()), 4),
+                }) + "\n")
 
-    print(f"\n== {args.model} {args.dataset} M={args.num_inducing} "
-          f"{R}-seed battery: {args.epochs} epochs in {train_s:.1f}s "
-          f"({R * args.epochs / train_s:.0f} effective steps/s) ==")
-    for i, s in enumerate(seeds):
-        print(f"seed {s:2d}: NLL {nll[i]:.3f}  RMSE {rmse[i]:.3f}  "
-              f"coverage {metrics['coverage'][i].mean():.3f}")
-    print(f"mean +- std: NLL {nll.mean():.3f} +- {nll.std():.3f}   "
-          f"RMSE {rmse.mean():.3f} +- {rmse.std():.3f}")
-
-    if args.out:
-        with open(args.out, "a") as f:
-            f.write(json.dumps({
-                "model": args.model, "dataset": args.dataset,
-                "M": args.num_inducing, "seeds": seeds,
-                "arch": (args.arch or "table") if args.model == "TGP" else None,
-                "batch": "full" if args.batch_size >= N_tr else args.batch_size,
-                "epochs": args.epochs, "train_s": round(train_s, 2),
-                "nll": [round(float(v), 4) for v in nll],
-                "rmse": [round(float(v), 4) for v in rmse],
-                "nll_mean": round(float(nll.mean()), 4),
-                "rmse_mean": round(float(rmse.mean()), 4),
-            }) + "\n")
+    if args.model == "ID_TGP":
+        report("ID_TGP(PE)", False)        # point-estimate flows
+        report("ID_TGP(BA)", True)         # MC-dropout Bayesian mixture
+    else:
+        report(args.model, False)
 
 
 if __name__ == "__main__":

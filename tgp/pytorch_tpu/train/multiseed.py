@@ -66,9 +66,21 @@ def clip_by_global_norm_per_replica(max_norm: float):
     return optax.GradientTransformation(init, update)
 
 
-def _optimizer(opt: str, lr: float, clip_norm):
-    from .optimizers import make_optimizer
-    tx = make_optimizer(opt, lr)
+def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
+               specs=None):
+    """Optimizer for the stacked pytree.  Parameter-group specs and frozen
+    labels are PATH-based and every transform is elementwise, so the
+    single-model machinery applies to the stacked tree verbatim and equals
+    per-replica groups."""
+    from .optimizers import make_optimizer, build_grouped_optimizer
+    from .trainer import frozen_param_labels
+    frozen = frozen_param_labels(spec, params_stack)
+    any_frozen = any(jax.tree_util.tree_leaves(frozen))
+    if specs is not None or any_frozen:
+        tx, _ = build_grouped_optimizer(params_stack, specs or [], lr, opt,
+                                        frozen)
+    else:
+        tx = make_optimizer(opt, lr)
     if clip_norm is not None:
         tx = optax.chain(clip_by_global_norm_per_replica(clip_norm), tx)
     return tx
@@ -76,7 +88,8 @@ def _optimizer(opt: str, lr: float, clip_norm):
 
 def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
                     lr: float, opt: str = "adam", seed: int = 0,
-                    chunk: int = 2000, clip_norm=None, verbose_each: int = 0):
+                    chunk: int = 2000, clip_norm=None, verbose_each: int = 0,
+                    specs=None):
     """Train R replicas full-batch for `epochs` steps, vmapped.
 
     Args:
@@ -91,7 +104,7 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     Xd = jnp.asarray(X_stack, dtype)
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
         jnp.asarray(Y_stack).dtype, jnp.integer) else jnp.asarray(Y_stack, dtype)
-    optimizer = _optimizer(opt, lr, clip_norm)
+    optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs)
     opt_state = optimizer.init(params_stack)
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
@@ -146,7 +159,8 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
 def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                               epochs: int, lr: float, batch_size: int,
                               opt: str = "adam", seed: int = 0,
-                              clip_norm=None, verbose_each: int = 0):
+                              clip_norm=None, verbose_each: int = 0,
+                              specs=None):
     """Minibatch-SVI battery: R replicas, each shuffling its own split with
     its own seeded generator (the Trainer's device-resident fast path,
     vmapped over the seed axis).  One epoch = one device program; the only
@@ -161,13 +175,13 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     if MB >= N:
         return train_multiseed(spec, params_stack, X_stack, Y_stack, epochs,
                                lr, opt=opt, seed=seed, clip_norm=clip_norm,
-                               verbose_each=verbose_each)
+                               verbose_each=verbose_each, specs=specs)
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)
     Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
         jnp.asarray(Y_stack, dtype)
-    optimizer = _optimizer(opt, lr, clip_norm)
+    optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs)
     opt_state = optimizer.init(params_stack)
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
     n_batches = N // MB
