@@ -659,6 +659,16 @@ class Trainer:
     def compute_metrics(self):
         """Full-split metrics for train/valid/test.
         reference: trainers_regression.py:108-155."""
+        if self._multihost:
+            # eval kernels build process-local batch arrays, which cannot mix
+            # with multi-process global parameters; the multi-host workflow is
+            # train distributed -> fetch -> evaluate locally
+            # (tools/multihost_train.py)
+            raise NotImplementedError(
+                "compute_metrics on a multi-process mesh: fetch the "
+                "(dp-replicated) parameters with tree_map(np.asarray, "
+                "trainer.params) and evaluate per process, as in "
+                "tools/multihost_train.py")
         import contextlib
         ctx = contextlib.nullcontext()
         if self.eval_device == "cpu":
