@@ -107,3 +107,15 @@ def test_two_process_cluster_matches_single_process():
     # collective implementation differs -> reduction-order noise at most)
     ref = _single_process_reference()
     assert np.isclose(outs[0]["elbo"], ref, rtol=2e-3), (outs[0]["elbo"], ref)
+
+
+@pytest.mark.skipif(os.environ.get("TGP_SKIP_MULTIHOST") == "1",
+                    reason="multi-process cluster test disabled")
+def test_layered_dp_ty_cluster():
+    """dp crosses processes (DCN), ty stays intra-host (ICI): a Dy=2 model
+    on a (dp=4, ty=2) 2-process mesh, incl. the ty-sharded param fetch."""
+    outs = _spawn_cluster(extra=("--Dy", "2", "--ty", "2"))
+    assert outs[0]["param_md5"] == outs[1]["param_md5"]
+    assert outs[0]["elbo"] == outs[1]["elbo"]
+    assert np.isfinite(outs[0]["elbo"])
+    assert np.isfinite(outs[0]["test_nll"])

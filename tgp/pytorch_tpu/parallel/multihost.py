@@ -131,6 +131,32 @@ def global_batch(mesh, *arrays):
     return out[0] if len(out) == 1 else tuple(out)
 
 
+def fetch_params(tree):
+    """Host numpy copies of (possibly ty-sharded) global parameter arrays.
+
+    Works on every process without cross-process gathers: parameters are
+    never sharded over the cross-process 'dp' axis, and 'ty' stays
+    intra-host, so each process's addressable shards already cover every
+    index of every leaf — they are just not marked fully-replicated."""
+    import jax
+
+    def fetch(x):
+        if not isinstance(x, jax.Array) or x.is_fully_replicated:
+            return np.asarray(x)
+        out = np.empty(x.shape, dtype=x.dtype)
+        seen = np.zeros(x.shape, dtype=bool)
+        for s in x.addressable_shards:
+            out[s.index] = np.asarray(s.data)
+            seen[s.index] = True
+        if not seen.all():
+            raise ValueError(
+                "leaf is sharded over a cross-process axis; parameters "
+                "should only ever be 'ty'-sharded (parallel/mesh.py)")
+        return out
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def replicate_global(mesh, tree):
     """Replicate a host pytree onto every device of a multi-process mesh
     (all processes must pass identical values — true for seeded inits)."""

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--N", type=int, default=256)
     ap.add_argument("--M", type=int, default=8)
     ap.add_argument("--Dy", type=int, default=1)
+    ap.add_argument("--ty", type=int, default=1,
+                    help="output-parallel axis size (stays intra-host)")
     args = ap.parse_args()
 
     from tgp.pytorch_tpu.parallel import multihost as mh
@@ -77,7 +79,7 @@ def main():
         kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
         noise_init=0.05, flow_inits=finits)
 
-    mesh = mh.global_mesh()          # dp = all devices of all processes
+    mesh = mh.global_mesh(ty=args.ty)    # dp crosses processes (DCN tier)
     bs = args.batch_size or args.N
     loaders = [DataLoader(ArrayDataset(X, Y), bs, seed=7),
                DataLoader(ArrayDataset(Xte, Yte), bs, shuffle=False)]
@@ -86,8 +88,8 @@ def main():
     tr.train(args.epochs, 0.01, "adam", verbose_each=0)
 
     final_elbo = float(tr.loss_curve[-1])
-    # params are dp-replicated (ty=1): fetchable on every process
-    host_params = jax.tree_util.tree_map(np.asarray, tr.params)
+    # dp-replicated / ty-sharded params are fully fetchable per process
+    host_params = mh.fetch_params(tr.params)
     leaves = jax.tree_util.tree_leaves(host_params)
     h = hashlib.md5()
     for lf in leaves:
