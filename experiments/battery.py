@@ -10,8 +10,11 @@ barely more than a single run (PARITY.md: the step is latency-bound).
     python experiments/battery.py --model TGP --dataset boston \
         --num_inducing 100 --seeds 1-10 [--epochs 15000] [--precision fp32]
 
-Supports SVGP and the generator-arch TGPs (SAL); per-seed-fitted archs
-(StepTanhL identity fit, ID hypernet anchors) still go through main.py.
+Supports SVGP, every sweep-table TGP arch (plain generators, chains, and
+Step* archs via a per-seed identity-fit initializer), and ID_TGP
+(per-seed hypernet anchor fit; PE and Bayesian evaluations of the same
+trained stack).  Full-batch and minibatch-SVI (reference batch 10000)
+protocols both run vectorized.
 """
 
 from __future__ import annotations
@@ -51,7 +54,8 @@ def main():
     p.add_argument("--num_blocks", type=int, default=None)
     p.add_argument("--arch", default=None,
                    help="override the sweep-table arch: NAME:NUM_BLOCKS"
-                        "[:NUM_STEPS], e.g. SAL:2 or StepTanhL:10:2")
+                        "[:NUM_STEPS] — NUM_STEPS required for Step* archs "
+                        "other than StepAllL, e.g. SAL:2 or StepTanhL:10:2")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -113,6 +117,9 @@ def main():
                 nb = args.num_blocks
         np.random.seed(cfg.config_seed)
         if arch.startswith("Step"):
+            if ns is None and arch != "StepAllL":
+                p.error(f"--arch {arch}:{nb} needs NUM_STEPS "
+                        f"({arch}:{nb}:<steps>)")
             # per-seed identity-fit initializer (reference main.py:168-190):
             # each split's Y range differs, so each replica gets its own fit
             from tgp.pytorch_tpu.flows.initializers import fit_flow_to_identity
@@ -156,8 +163,11 @@ def main():
             from tgp.pytorch_tpu.flows.initializers import (
                 fit_hypernet_to_anchors)
             fp0 = jtu.tree_map(lambda x: x[0], pr["flow"])
+            # batch the fit exactly like main.py's loader (10000-row batches)
+            fit_batches = [Xtr[r][i:i + args.batch_size]
+                           for i in range(0, N_tr, args.batch_size)]
             fp0, loss = fit_hypernet_to_anchors(
-                flow_spec, fp0, [Xtr[r]], num_epochs=2000, noise_var=0.0)
+                flow_spec, fp0, fit_batches, num_epochs=2000, noise_var=0.0)
             pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), fp0)
             print(f"seed {seeds[r]}: hypernet anchor-fit loss {loss:.3e}")
         per_seed.append(pr)

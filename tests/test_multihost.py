@@ -46,11 +46,18 @@ def _spawn_cluster(num_processes=2, extra=()):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True))
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        outs.append(json.loads(line))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("{")][-1]
+            outs.append(json.loads(line))
+    finally:
+        # a failed/timed-out worker must not leave its peer blocked in a
+        # gloo collective squatting the host's single CPU core
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     return outs
 
 

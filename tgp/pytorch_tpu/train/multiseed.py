@@ -135,11 +135,18 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
         return params, opt_state, rngs, curves
 
     curves_all = {"elbo": [], "ell": [], "kld": []}
+    # chunk boundaries align to verbose_each so the requested cadence is
+    # honoured (same chunking rule as Trainer.train's full-batch path)
+    if verbose_each:
+        chunk = min(chunk, verbose_each)
     done = 0
     while done < epochs:
         n = min(chunk, epochs - done)
+        if verbose_each:
+            n = min(n, verbose_each - done % verbose_each)
         params_stack, opt_state, rngs, (e, ell, kld) = run(
             params_stack, opt_state, Xd, Yd, rngs, n)
+        prev = done
         done += n
         curves_all["elbo"].append(np.asarray(e))
         curves_all["ell"].append(np.asarray(ell))
@@ -148,7 +155,7 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
             bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
             raise FloatingPointError(
                 f"non-finite ELBO at epoch {done} in replicas {bad.tolist()}")
-        if verbose_each and done % verbose_each == 0:
+        if verbose_each and done // verbose_each > prev // verbose_each:
             last = curves_all["elbo"][-1][-1]
             print(f"| epoch {done}/{epochs}  ELBO "
                   f"[{last.min():.3f} .. {last.max():.3f}] over {R} seeds")

@@ -1,8 +1,9 @@
 #!/bin/sh
 # Full-table 10-seed batteries (experiments/battery.py) on the TPU.
-# One job at a time (single chip).  Full-batch path: protein/naval exceed
-# the reference's batch 10000, so their rows are full-batch variants and
-# recorded as such (battery jsonl carries batch=full).
+# One job at a time (single chip).  battery.py defaults to the reference's
+# batch 10000 (code/main.py:74): datasets with N_tr <= 10000 run the
+# full-batch scan, protein/naval engage the minibatch-SVI battery path —
+# the jsonl rows record which ("batch": "full" | 10000).
 set -x
 cd /root/repo
 for d in boston concrete energy kin8nm power wine_red wine_white naval protein; do
