@@ -208,50 +208,71 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s, keys, aux
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def run_epoch(params, opt_state, rngs, perms):
-        idx = perms[:, :n_batches * MB].reshape(R, n_batches, MB)
+    def _epoch(carry, perm):
+        # one epoch: scan over the full batches + drop_last=False remainder
+        p, s, keys = carry
+        idx = perm[:, :n_batches * MB].reshape(R, n_batches, MB)
         idx = jnp.swapaxes(idx, 0, 1)                       # (n_batches, R, MB)
 
-        def body(carry, ids):
-            p, s, keys = carry
+        def body(c, ids):
+            p, s, keys = c
             xb = jax.vmap(lambda xr, ir: jnp.take(xr, ir, axis=0))(Xd, ids)
             yb = jax.vmap(lambda yr, ir: jnp.take(yr, ir, axis=0))(Yd, ids)
             p, s, keys, aux = _one_step(p, s, keys, xb, yb)
             return (p, s, keys), aux
 
-        (params, opt_state, rngs), curves = jax.lax.scan(
-            body, (params, opt_state, rngs), idx)
+        (p, s, keys), (e, ell, kld) = jax.lax.scan(body, (p, s, keys), idx)
         if rem:
-            ids = perms[:, n_batches * MB:]
+            ids = perm[:, n_batches * MB:]
             xb = jax.vmap(lambda xr, ir: jnp.take(xr, ir, axis=0))(Xd, ids)
             yb = jax.vmap(lambda yr, ir: jnp.take(yr, ir, axis=0))(Yd, ids)
-            params, opt_state, rngs, _ = _one_step(
-                params, opt_state, rngs, xb, yb)
+            p, s, keys, _ = _one_step(p, s, keys, xb, yb)
+        # per-epoch curves: the epoch's last full batch (Trainer semantics)
+        return (p, s, keys), (e[-1], ell[-1], kld[-1])
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, rngs, perms):          # perms (C, R, N)
+        (params, opt_state, rngs), curves = jax.lax.scan(
+            _epoch, (params, opt_state, rngs), perms)
         return params, opt_state, rngs, curves
 
+    # chunk several epochs into ONE device program: the per-program
+    # dispatch cost (~30 ms over the remote tunnel) would otherwise stay
+    # in the epoch loop; host-side PCG64 perms are precomputed per chunk
+    # (bit-identical sequence), capped at ~32 MB of index uploads
+    chunk = max(1, min((1 << 23) // max(R * N, 1), 200, epochs))
+    if verbose_each:
+        chunk = min(chunk, verbose_each)
     gens = [np.random.Generator(np.random.PCG64(seed + 7919 * (r + 1)))
             for r in range(R)]
     curves_all = {"elbo": [], "ell": [], "kld": []}
     import time as _time
     t0 = _time.time()
-    for ep in range(epochs):
-        perms = np.stack([g.permutation(N) for g in gens]).astype(np.int32)
-        params_stack, opt_state, rngs, (e, ell, kld) = run_epoch(
+    done = 0
+    while done < epochs:
+        n = min(chunk, epochs - done)
+        if verbose_each:
+            n = min(n, verbose_each - done % verbose_each)
+        perms = np.stack(
+            [np.stack([g.permutation(N) for g in gens]).astype(np.int32)
+             for _ in range(n)])                            # (n, R, N)
+        params_stack, opt_state, rngs, (e, ell, kld) = run_chunk(
             params_stack, opt_state, rngs, perms)
-        curves_all["elbo"].append(np.asarray(e[-1]))
-        curves_all["ell"].append(np.asarray(ell[-1]))
-        curves_all["kld"].append(np.asarray(kld[-1]))
-        if not np.isfinite(curves_all["elbo"][-1]).all():
-            bad = np.where(~np.isfinite(curves_all["elbo"][-1]))[0]
+        prev = done
+        done += n
+        curves_all["elbo"].append(np.asarray(e))
+        curves_all["ell"].append(np.asarray(ell))
+        curves_all["kld"].append(np.asarray(kld))
+        if not np.isfinite(curves_all["elbo"][-1][-1]).all():
+            bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
             raise FloatingPointError(
-                f"non-finite ELBO at epoch {ep + 1} in replicas {bad.tolist()}")
-        if verbose_each and (ep + 1) % verbose_each == 0:
-            last = curves_all["elbo"][-1]
-            print(f"| epoch {ep + 1}/{epochs}  ELBO "
+                f"non-finite ELBO at epoch {done} in replicas {bad.tolist()}")
+        if verbose_each and done // verbose_each > prev // verbose_each:
+            last = curves_all["elbo"][-1][-1]
+            print(f"| epoch {done}/{epochs}  ELBO "
                   f"[{last.min():.3f} .. {last.max():.3f}] over {R} seeds "
-                  f"({(_time.time() - t0) / (ep + 1) * 1e3:.1f}ms/ep)")
-    curves = {k: np.stack(v, axis=0) for k, v in curves_all.items()}
+                  f"({(_time.time() - t0) / done * 1e3:.1f}ms/ep)")
+    curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
     return params_stack, curves
 
 
