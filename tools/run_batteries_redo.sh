@@ -8,7 +8,8 @@ if [ -f /tmp/batteries_id.pid ]; then
   while kill -0 "$(cat /tmp/batteries_id.pid)" 2>/dev/null; do sleep 30; done
 fi
 for spec in "SVGP kin8nm" "TGP kin8nm" "SVGP power" "TGP power" \
-            "SVGP wine_white" "TGP wine_white" "SVGP naval"; do
+            "SVGP wine_white" "TGP wine_white" "SVGP naval" "TGP naval" \
+            "SVGP protein"; do
   set -- $spec
   timeout 1800 python experiments/battery.py --model $1 --dataset $2 \
       --num_inducing 100 --seeds 1-10 --epochs 15000 \
