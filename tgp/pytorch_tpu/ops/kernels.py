@@ -40,25 +40,12 @@ USE_PALLAS = True
 _PALLAS_MIN_ELEMS = 1 << 18
 
 
-def _is_batch_tracer(x) -> bool:
-    try:
-        from jax._src.interpreters.batching import BatchTracer
-    except Exception:  # pragma: no cover - jax internals moved
-        return any(t.__name__ == "BatchTracer" for t in type(x).__mro__)
-    return isinstance(x, BatchTracer)
-
-
 def _pallas_ok(X1, X2):
     if not USE_PALLAS:
         return False
     if X1.dtype not in (jnp.float32,):
         return False
     if X1.shape[0] * X1.shape[1] * X2.shape[1] < _PALLAS_MIN_ELEMS:
-        return False
-    if _is_batch_tracer(X1) or _is_batch_tracer(X2):
-        # under vmap (multi-seed batteries) Pallas's auto-batching rule
-        # produces an invalid SMEM block spec for the per-output scale arg;
-        # the jnp expansion path batches fine and XLA still fuses it
         return False
     from .pallas.rbf_gram import pallas_available
     return pallas_available()

@@ -49,6 +49,8 @@ def _round_up(x, m):
 
 def _gram_kernel(x_ref, z_ref, ks_ref, out_ref):
     # x: (1, TN, Dx) already lengthscale-scaled; z: (1, TM, Dx) scaled
+    # ks: (1, 1, 1) per-output scale in VMEM (not SMEM: VMEM blocks batch
+    # cleanly under vmap, which the multi-seed batteries rely on)
     x = x_ref[0]
     z = z_ref[0]
     xn = jnp.sum(jnp.square(x), axis=-1, keepdims=True)          # (TN, 1)
@@ -58,7 +60,7 @@ def _gram_kernel(x_ref, z_ref, ks_ref, out_ref):
         preferred_element_type=jnp.float32,
     )
     d2 = jnp.maximum(xn + zn - 2.0 * cross, 0.0)
-    out_ref[0] = (ks_ref[0] * jnp.exp(-0.5 * d2)).astype(out_ref.dtype)
+    out_ref[0] = (ks_ref[0, 0, 0] * jnp.exp(-0.5 * d2)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -89,8 +91,8 @@ def _forward(X1s, X2s, ks):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TM, Dx), lambda d, i, j: (d, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda d, i, j: (d,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda d, i, j: (d, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TN, TM), lambda d, i, j: (d, i, j),
                                memory_space=pltpu.VMEM),
@@ -100,7 +102,7 @@ def _forward(X1s, X2s, ks):
             transcendentals=Dy * N * M,
         ),
         interpret=INTERPRET,
-    )(X1s, X2s, ks)
+    )(X1s, X2s, ks.reshape(Dy, 1, 1))
     return out
 
 
