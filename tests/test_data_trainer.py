@@ -126,6 +126,28 @@ def test_trainer_schedule_phases():
     assert not np.array_equal(np.asarray(tr.params["Z"]), Z0)  # phase 2 moved Z
 
 
+@pytest.mark.parametrize("opt", ["adam_W", "adam_R"])
+def test_trainer_adam_family_schedule_carries(opt):
+    """adam_W/adam_R now ride the grouped path: a two-phase schedule must
+    train, improve the ELBO, and carry moment state across the boundary
+    (state object identity: phase 2 starts from phase 1's GroupAdamState)."""
+    from tgp.pytorch_tpu.train import group_adam as GA
+    spec, params, X, Y = _tiny_model()
+    loaders = [DataLoader(ArrayDataset(X, Y), 30, seed=0)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(1))
+    sched = ([0.5, 0.5], [[[0.0, "Z"]], None])
+    # lr 0.01: RAdam's pre-rectification steps are bias-corrected SGD with
+    # effective lr/(1-b1^t) (5x at t=1, faithful to the vendored rule), so
+    # the reference's lr=0.05-scale settings overshoot on a 20-epoch smoke
+    tr.train(20, 0.01, opt, optimisation_schedule=sched, verbose_each=0)
+    assert float(tr.loss_curve[-1]) > float(tr.loss_curve[0])
+    assert isinstance(tr._opt_state_carry, GA.GroupAdamState)
+    assert tr._opt_state_kind == opt
+    # a later train() call with a DIFFERENT kind must reset, not reuse
+    tr.train(4, 0.05, "adam", verbose_each=0)
+    assert tr._opt_state_kind == "adam"
+
+
 @pytest.mark.slow
 def test_boston_svgp_converges_toward_reference():
     # CPU-runnable acceptance check toward README.md:66 (NLL 2.862/RMSE 4.229)

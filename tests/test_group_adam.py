@@ -81,3 +81,101 @@ def test_annotations_from_specs():
     assert act["kernel"]["ls"] is False
     assert lr["flow"][0]["a"] == 0.05 and wd["flow"][0]["a"] == 1e-4
     assert lr["q_mu"] == 0.01 and act["q_mu"] is True
+
+
+def _vendored_adamw_steps(w0, grads, lr, wd, b1=0.9, b2=0.999, eps=1e-8):
+    """The reference's vendored warmup-AdamW at warmup=0
+    (code/dsp/trainers/optimizers.py:194-265), re-derived in numpy."""
+    p = w0.copy()
+    mu = np.zeros_like(p)
+    nu = np.zeros_like(p)
+    for t, g in enumerate(grads, start=1):
+        nu = b2 * nu + (1 - b2) * g * g
+        mu = b1 * mu + (1 - b1) * g
+        denom = np.sqrt(nu) + eps
+        step_size = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        if wd:
+            p = p - wd * lr * p
+        p = p - step_size * mu / denom
+    return p
+
+
+def _vendored_radam_steps(w0, grads, lr, wd, b1=0.9, b2=0.999, eps=1e-8):
+    """The reference's vendored RAdam (code/dsp/trainers/optimizers.py:26-115,
+    degenerated_to_sgd=True), re-derived in numpy."""
+    p = w0.copy()
+    mu = np.zeros_like(p)
+    nu = np.zeros_like(p)
+    rho_inf = 2 / (1 - b2) - 1
+    for t, g in enumerate(grads, start=1):
+        nu = b2 * nu + (1 - b2) * g * g
+        mu = b1 * mu + (1 - b1) * g
+        b2t = b2 ** t
+        rho_t = rho_inf - 2 * t * b2t / (1 - b2t)
+        if wd:
+            p = p - wd * lr * p
+        if rho_t >= 5:
+            r = np.sqrt((1 - b2t) * (rho_t - 4) / (rho_inf - 4)
+                        * (rho_t - 2) / rho_t * rho_inf / (rho_inf - 2))
+            p = p - lr * (r / (1 - b1 ** t)) * mu / (np.sqrt(nu) + eps)
+        else:
+            p = p - lr / (1 - b1 ** t) * mu
+    return p
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.1])
+def test_matches_vendored_adamw(wd):
+    rng = np.random.RandomState(2)
+    w0 = rng.randn(5)
+    grads = [rng.randn(5) for _ in range(15)]
+    ref = _vendored_adamw_steps(w0, grads, lr=0.05, wd=wd)
+
+    p = {"w": jnp.asarray(w0)}
+    state = GA.init_state(p)
+    for g in grads:
+        upd, state = GA.update({"w": jnp.asarray(g)}, state, p,
+                               {"w": 0.05}, {"w": wd}, {"w": True},
+                               kind="adam_W")
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]), ref, rtol=1e-10)
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.1])
+def test_matches_vendored_radam(wd):
+    # 15 steps cross the rho_t >= 5 activation boundary (SGD branch first)
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(5)
+    grads = [rng.randn(5) for _ in range(15)]
+    ref = _vendored_radam_steps(w0, grads, lr=0.05, wd=wd)
+
+    p = {"w": jnp.asarray(w0)}
+    state = GA.init_state(p)
+    for g in grads:
+        upd, state = GA.update({"w": jnp.asarray(g)}, state, p,
+                               {"w": 0.05}, {"w": wd}, {"w": True},
+                               kind="adam_R")
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, upd)
+    np.testing.assert_allclose(np.asarray(p["w"]), ref, rtol=1e-10)
+
+
+def test_radam_phase_carry():
+    """Moments/counts carry across an annotation swap for adam_R too."""
+    rng = np.random.RandomState(4)
+    a0, b0 = rng.randn(3), rng.randn(3)
+    gs = [(rng.randn(3), rng.randn(3)) for _ in range(12)]
+
+    # oracle: 'a' steps 12 times, 'b' steps only the last 6 (fresh counts)
+    ref_a = _vendored_radam_steps(a0, [g[0] for g in gs], lr=0.05, wd=0.0)
+    ref_b = _vendored_radam_steps(b0, [g[1] for g in gs[6:]], lr=0.02, wd=0.0)
+
+    p = {"a": jnp.asarray(a0), "b": jnp.asarray(b0)}
+    state = GA.init_state(p)
+    for i, (ga, gb) in enumerate(gs):
+        act = {"a": True, "b": i >= 6}
+        lr = {"a": 0.05, "b": 0.02}
+        upd, state = GA.update({"a": jnp.asarray(ga), "b": jnp.asarray(gb)},
+                               state, p, lr, {"a": 0.0, "b": 0.0}, act,
+                               kind="adam_R")
+        p = jax.tree_util.tree_map(lambda x, u: x + u, p, upd)
+    np.testing.assert_allclose(np.asarray(p["a"]), ref_a, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p["b"]), ref_b, rtol=1e-10)

@@ -1,19 +1,27 @@
-"""Per-leaf grouped Adam with torch `add_param_group` semantics.
+"""Per-leaf grouped Adam family with torch `add_param_group` semantics.
 
 The reference keeps one live torch optimizer across schedule phases and
 train() calls (`keep_parameter_groups`, trainer_base.py:271-318): a
 parameter added in a later phase starts with fresh Adam moments and its own
 step count, while pre-existing groups keep theirs.  optax.multi_transform
 can't express that (its state is partitioned by a fixed label pytree), so
-this module implements Adam directly over full-shaped moment pytrees with
-per-leaf (lr, weight_decay, active) annotations:
+this module implements the Adam family directly over full-shaped moment
+pytrees with per-leaf (lr, weight_decay, active) annotations:
 
   * inactive leaves (frozen / lr=0 / not yet added): no update, no moment
     accumulation, count frozen — exactly "not in the optimizer",
-  * weight decay is torch-style L2 added to the gradient before moments,
-  * bias correction uses the per-leaf count (steps since activation).
-
-Phase changes just swap the annotation pytrees; the state carries over.
+  * bias correction uses the per-leaf count (steps since activation),
+  * `kind` selects the update rule; all three share the (count, mu, nu)
+    state so phase changes just swap annotations and the state carries:
+      - 'adam':   torch Adam — weight decay is L2 added to the gradient
+                  before the moments,
+      - 'adam_W': the reference's vendored warmup-AdamW at warmup=0
+                  (code/dsp/trainers/optimizers.py:194-265) — decoupled
+                  wd*lr*p, eps OUTSIDE the bias-corrected sqrt,
+      - 'adam_R': the reference's vendored RAdam (Liu et al.,
+                  code/dsp/trainers/optimizers.py:26-115) — rectified
+                  variance term when N_sma >= 5, degenerating to
+                  bias-corrected SGD below, decoupled wd*lr*p.
 """
 
 from __future__ import annotations
@@ -40,21 +48,45 @@ def init_state(params) -> GroupAdamState:
 
 
 def update(grads, state: GroupAdamState, params, lr_tree, wd_tree, active_tree,
-           b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
-    """One Adam step.  lr/wd are per-leaf scalars; active is per-leaf bool.
+           b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+           kind: str = "adam"):
+    """One step of the `kind` update rule (see module docstring).
 
+    lr/wd are per-leaf scalars; active is per-leaf bool.
     Returns (updates, new_state): apply with optax.apply_updates.
     """
+    if kind not in ("adam", "adam_W", "adam_R"):
+        raise NotImplementedError(f"grouped optimizer kind {kind!r}")
 
     def leaf(g, p, mu, nu, cnt, lr, wd, active):
-        g = g + wd * p                       # torch L2-into-grad
+        if kind == "adam":
+            g = g + wd * p                   # torch L2-into-grad
         new_cnt = jnp.where(active, cnt + 1, cnt)
         new_mu = jnp.where(active, b1 * mu + (1 - b1) * g, mu)
         new_nu = jnp.where(active, b2 * nu + (1 - b2) * jnp.square(g), nu)
         t = jnp.maximum(new_cnt, 1).astype(p.dtype)
-        mu_hat = new_mu / (1 - b1 ** t)
-        nu_hat = new_nu / (1 - b2 ** t)
-        upd = jnp.where(active, -lr * mu_hat / (jnp.sqrt(nu_hat) + eps), 0.0)
+        b1t = b1 ** t
+        b2t = b2 ** t
+        if kind == "adam":
+            mu_hat = new_mu / (1 - b1t)
+            nu_hat = new_nu / (1 - b2t)
+            upd = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        elif kind == "adam_W":
+            step_size = lr * jnp.sqrt(1 - b2t) / (1 - b1t)
+            upd = (-step_size * new_mu / (jnp.sqrt(new_nu) + eps)
+                   - wd * lr * p)
+        else:  # adam_R
+            rho_inf = 2.0 / (1.0 - b2) - 1.0
+            rho_t = rho_inf - 2.0 * t * b2t / (1 - b2t)
+            # rectification term; guarded so the sqrt stays finite in the
+            # SGD branch (rho_t < 4) where its value is unused
+            r_num = (1 - b2t) * (rho_t - 4) / (rho_inf - 4) \
+                * (rho_t - 2) / rho_t * rho_inf / (rho_inf - 2)
+            r = jnp.sqrt(jnp.maximum(r_num, 0.0))
+            rect = -lr * (r / (1 - b1t)) * new_mu / (jnp.sqrt(new_nu) + eps)
+            sgd = -lr / (1 - b1t) * new_mu
+            upd = jnp.where(rho_t >= 5.0, rect, sgd) - wd * lr * p
+        upd = jnp.where(active, upd, 0.0)
         return upd.astype(p.dtype), new_mu, new_nu, new_cnt
 
     flat_g, treedef = jax.tree_util.tree_flatten(grads)

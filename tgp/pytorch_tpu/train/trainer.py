@@ -345,14 +345,13 @@ class Trainer:
         per phase; each phase's specification is a list of [lr(,wd),name]
         entries (None = all parameters at lr_ALL).
 
-        Deliberate difference from the reference's `keep_parameter_groups`:
-        optimizer moments reset at phase boundaries (each phase compiles its
-        own optax program).  The reference instead appends parameter groups
-        to a live torch optimizer (trainer_base.py:271-318), carrying Adam
-        state across phases for pre-existing groups.  For the paper
-        protocols (single phase, or hold-kernel phase 1 where the held
-        params have no moments yet) the observable difference is second-
-        order; revisit if cross-phase moment carry ever matters.
+        Optimizer state carries across phase boundaries and train() calls
+        for the whole Adam family (adam/adam_W/adam_R) with torch
+        `add_param_group` semantics — pre-existing groups keep their
+        moments and per-leaf step counts, newly activated parameters start
+        fresh (reference trainer_base.py:271-318, `keep_parameter_groups`).
+        'sgd' (momentum 0 upstream) is stateless, so its per-phase rebuild
+        is observationally identical.
         """
         if optimisation_schedule is None:
             optimisation_schedule = ([1.0], [None])
@@ -522,12 +521,14 @@ class Trainer:
         loader_state = np.frombuffer(
             pickle.dumps(self.train_loader._rng.bit_generator.state),
             np.uint8).copy()
+        opt_kind = getattr(self, "_opt_state_kind", "adam")
         return save_checkpoint(
             path, self.params, step=len(self.loss_curve) if step is None else step,
             opt_state=getattr(self, "_opt_state_carry", None),
             extra={"rng": self._rng,
                    "fully_bayesian": np.asarray(self.fully_bayesian),
-                   "loader_state": loader_state},
+                   "loader_state": loader_state,
+                   "opt_kind": np.frombuffer(opt_kind.encode(), np.uint8).copy()},
             async_save=async_save)
 
     def restore(self, path: str, step: int | None = None):
@@ -543,6 +544,10 @@ class Trainer:
             import pickle
             self.train_loader._rng.bit_generator.state = pickle.loads(
                 bytes(np.asarray(extra["loader_state"])))
+        if "opt_kind" in extra:
+            self._opt_state_kind = bytes(np.asarray(extra["opt_kind"])).decode()
+        elif opt_state is not None:
+            self._opt_state_kind = "adam"   # pre-kind checkpoints were adam
         if self.mesh is not None:
             from ..parallel import param_sharding
             self.params = jax.device_put(
@@ -553,15 +558,19 @@ class Trainer:
                                clip_norm=None):
         """Per-phase optimizer.
 
-        'adam' (the reference's default everywhere) uses the per-leaf
-        grouped Adam whose moment/count state carries across phases and
+        The Adam family ('adam' — the reference's default everywhere —
+        plus 'adam_W' and 'adam_R') uses the per-leaf grouped
+        implementation whose moment/count state carries across phases and
         train() calls — torch `add_param_group` semantics
         (reference trainer_base.py:271-318 `keep_parameter_groups`); a
         parameter first activated in a later phase starts with fresh
-        moments.  Other optimizers use the optax multi_transform path
-        (state resets per phase).
+        moments.  Switching `kind` between train() calls resets the state
+        (moments from a different rule would be meaningless).  'sgd' uses
+        the optax multi_transform path; it is stateless (torch SGD at the
+        reference's default momentum=0), so per-phase rebuild loses
+        nothing.
         """
-        if opt == "adam":
+        if opt in ("adam", "adam_W", "adam_R"):
             from . import group_adam as GA
             import optax as _optax
 
@@ -569,7 +578,9 @@ class Trainer:
                 self.params, specs, lr_ALL, frozen_labels=frozen)
             carried = getattr(self, "_opt_state_carry", None)
             carry_ok = (carried is not None
-                        and isinstance(carried, GA.GroupAdamState))
+                        and isinstance(carried, GA.GroupAdamState)
+                        and getattr(self, "_opt_state_kind", None) == opt)
+            self._opt_state_kind = opt
 
             def init_fn(params):
                 if carry_ok:
@@ -584,15 +595,14 @@ class Trainer:
                     gnorm = _optax.global_norm(grads)
                     scale = jnp.minimum(1.0, clip_norm / (gnorm + 1e-12))
                     grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-                return GA.update(grads, state, params, lr_t, wd_t, act_t)
+                return GA.update(grads, state, params, lr_t, wd_t, act_t,
+                                 kind=opt)
 
             return _optax.GradientTransformation(init_fn, update_fn)
 
-        # NON-adam branch: optimizer state RESETS at every phase boundary
-        # (each phase compiles its own optax program).  The reference
-        # instead appends param groups to one live torch optimizer
-        # (trainer_base.py:271-318), carrying moments for pre-existing
-        # groups; only the grouped-adam path above reproduces that.
+        # sgd: stateless, so the per-phase optax rebuild has no observable
+        # reset (torch SGD with the reference's default momentum=0 keeps no
+        # moments either)
         optimizer, _ = build_grouped_optimizer(
             self.params, specs, lr_ALL, opt, frozen_labels=frozen)
         if clip_norm is not None:
