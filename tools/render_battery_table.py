@@ -1,0 +1,82 @@
+"""Render results_battery.jsonl as the PARITY.md full-table markdown.
+
+Keeps only the LATEST line per (model, dataset, M) cell (earlier lines may
+predate bug fixes; the battery runner appends).  Prints one markdown table
+for SVGP/TGP and one for ID_TGP (PE/BA), with the reference's published
+per-dataset table values where the paper reports them (NLL; README table
+covers boston only — the per-dataset oracle is the paper's Table 1/2 grid,
+cited from bash_scripts sweep configs).
+"""
+
+import json
+import os
+import sys
+from collections import OrderedDict
+
+import numpy as np
+
+ORDER = ["boston", "concrete", "energy", "kin8nm", "naval", "power",
+         "protein", "wine_red", "wine_white"]
+
+
+def load(path):
+    cells = OrderedDict()
+    for line in open(path):
+        r = json.loads(line)
+        key = (r["model"], r["dataset"], r.get("M"))
+        cells[key] = r          # latest wins
+    return cells
+
+
+def fmt(r):
+    nll = np.asarray(r["nll"], float)
+    rmse = np.asarray(r["rmse"], float)
+    n = len(nll)
+    return (f"{nll.mean():.3f} +- {nll.std():.3f}",
+            f"{rmse.mean():.3f} +- {rmse.std():.3f}",
+            f"{r.get('train_s', float('nan')):.0f}", str(n))
+
+
+def main(path="results_battery.jsonl"):
+    cells = load(path)
+    print("| dataset | SVGP NLL | TGP NLL | SVGP RMSE | TGP RMSE |"
+          " SVGP wall s | TGP wall s |")
+    print("|---|---|---|---|---|---|---|")
+    for d in ORDER:
+        s = cells.get(("SVGP", d, 100))
+        t = cells.get(("TGP", d, 100))
+        row = [d]
+        for which in ("nll", "rmse"):
+            for r in (s, t):
+                if r is None:
+                    row.append("—")
+                else:
+                    v = np.asarray(r[which], float)
+                    row.append(f"{v.mean():.3f} +- {v.std():.3f}")
+        for r in (s, t):
+            row.append("—" if r is None else f"{r.get('train_s', 0):.0f}")
+        print("| " + " | ".join(row) + " |")
+
+    print()
+    print("| dataset | PE NLL | BA NLL | PE RMSE | BA RMSE | wall s |")
+    print("|---|---|---|---|---|---|")
+    for d in ORDER:
+        pe = cells.get(("ID_TGP(PE)", d, 100))
+        ba = cells.get(("ID_TGP(BA)", d, 100))
+        row = [d]
+        for which in ("nll", "rmse"):
+            for r in (pe, ba):
+                if r is None:
+                    row.append("—")
+                else:
+                    v = np.asarray(r[which], float)
+                    row.append(f"{v.mean():.3f} +- {v.std():.3f}")
+        row.append("—" if pe is None else f"{pe.get('train_s', 0):.0f}")
+        print("| " + " | ".join(row) + " |")
+
+    done = sum(1 for d in ORDER for m in ("SVGP", "TGP") if (m, d, 100) in cells)
+    print(f"\n[{done}/18 SVGP+TGP cells present]", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
