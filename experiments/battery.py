@@ -56,6 +56,10 @@ def main():
                    help="override the sweep-table arch: NAME:NUM_BLOCKS"
                         "[:NUM_STEPS] — NUM_STEPS required for Step* archs "
                         "other than StepAllL, e.g. SAL:2 or StepTanhL:10:2")
+    p.add_argument("--mesh", default=None, metavar="DP",
+                   help="shard the seed (replica) axis over a DP-way device"
+                        " mesh (seeds are independent, so the battery scales"
+                        " embarrassingly across chips)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -178,11 +182,18 @@ def main():
         # weight decay on hypernet weights only (reference main.py:274-288)
         specs = [[args.lr, 1e-5, "net_"], [args.lr, 0.0, "flow"]]
 
+    mesh = None
+    if args.mesh:
+        from tgp.pytorch_tpu.parallel import make_mesh
+        mesh = make_mesh(dp=int(args.mesh), ty=1)
+        print(f"==== battery on a {args.mesh}-way dp mesh "
+              f"(seed axis sharded) ====")
+
     t0 = time.time()
     params, curves = ms.train_multiseed_minibatch(
         spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
         batch_size=args.batch_size, seed=0, specs=specs,
-        verbose_each=max(args.epochs // 5, 1))
+        verbose_each=max(args.epochs // 5, 1), mesh=mesh)
     train_s = time.time() - t0
 
     def report(tag, fully_bayesian):

@@ -121,3 +121,28 @@ def test_per_replica_clip_matches_optax_per_model():
     np.testing.assert_allclose(got["a"][0], ref1["a"], rtol=1e-6)
     # the small replica is untouched
     np.testing.assert_allclose(got["a"][1], g2["a"][0], rtol=1e-6)
+
+
+def test_battery_sharded_over_seed_axis_matches():
+    """mesh= shards the replica axis over 'dp': same results as unsharded
+    (replicas are independent — sharding must be a pure placement change)."""
+    from tgp.pytorch_tpu.parallel.mesh import make_mesh
+    spec, finits = _spec()
+    R, M = 8, 6
+    data = [_make_replica(r) for r in range(R)]
+    stack = ms.stack_trees([_init(spec, finits, X, M) for X, _ in data])
+    Xs = np.stack([d[0] for d in data])
+    Ys = np.stack([d[1] for d in data])
+
+    p_ref, c_ref = ms.train_multiseed(spec, stack, Xs, Ys, epochs=25, lr=0.05)
+
+    stack2 = ms.stack_trees([_init(spec, finits, X, M) for X, _ in data])
+    mesh = make_mesh(dp=8, ty=1)
+    p_sh, c_sh = ms.train_multiseed(spec, stack2, Xs, Ys, epochs=25, lr=0.05,
+                                    mesh=mesh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6),
+        p_ref, p_sh)
+    np.testing.assert_allclose(c_ref["elbo"], c_sh["elbo"], rtol=2e-5,
+                               atol=1e-5)

@@ -112,3 +112,35 @@ def test_minibatch_battery_full_batch_fallback():
     for a, b in zip(jax.tree_util.tree_leaves(out_a),
                     jax.tree_util.tree_leaves(out_b)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_minibatch_battery_sharded_matches():
+    """mesh= on the minibatch battery: pure placement change."""
+    from tgp.pytorch_tpu.parallel.mesh import make_mesh
+    R, M, MB, epochs, seed = 4, 5, 20, 6, 11
+    N = 48
+    spec, finits = _spec(N, M=M)
+    Xs, Ys, ps = [], [], []
+    for r in range(R):
+        X, Y = _make_replica(r, N=N)
+        Xs.append(X)
+        Ys.append(Y)
+        ps.append(Mm.init_tgp_params(
+            spec, X, X[:M].copy(), variance_scale=1e-5,
+            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+            noise_init=0.05, flow_inits=finits))
+
+    p_ref, c_ref = ms.train_multiseed_minibatch(
+        spec, ms.stack_trees(ps), np.stack(Xs), np.stack(Ys), epochs,
+        0.01, batch_size=MB, seed=seed)
+
+    mesh = make_mesh(dp=4, ty=2)
+    p_sh, c_sh = ms.train_multiseed_minibatch(
+        spec, ms.stack_trees(ps), np.stack(Xs), np.stack(Ys), epochs,
+        0.01, batch_size=MB, seed=seed, mesh=mesh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        p_ref, p_sh)
+    np.testing.assert_allclose(c_ref["elbo"], c_sh["elbo"], rtol=2e-5,
+                               atol=1e-5)

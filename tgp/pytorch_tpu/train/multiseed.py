@@ -86,16 +86,35 @@ def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
     return tx
 
 
+def _seed_axis_sharding(mesh, R):
+    """NamedSharding putting a leading R (replica) axis on 'dp'; leaves
+    without one (scalar step counts, shared constants) are replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def rule(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == R:
+            return NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return rule
+
+
 def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
                     lr: float, opt: str = "adam", seed: int = 0,
                     chunk: int = 2000, clip_norm=None, verbose_each: int = 0,
-                    specs=None):
+                    specs=None, mesh=None):
     """Train R replicas full-batch for `epochs` steps, vmapped.
 
     Args:
       params_stack: pytree with leading R axis (see `stack_trees`), one
         replica per split seed.
       X_stack: (R, N, Dx); Y_stack: (R, N, Dy) float or (R, N) int labels.
+      mesh: optional jax.sharding.Mesh with a 'dp' axis: the replica axis
+        is sharded across it — seeds are independent programs, so the whole
+        10-seed protocol scales embarrassingly across chips (the only
+        collective XLA inserts is the scalar loss-sum psum).  R need not
+        divide the axis (GSPMD pads), but divisible R wastes nothing.
     Returns (params_stack, curves) with curves = dict of (epochs, R)
     arrays (elbo/ell/kld), matching the Trainer's loss_curve semantics.
     """
@@ -108,6 +127,12 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     opt_state = optimizer.init(params_stack)
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    if mesh is not None:
+        rule = _seed_axis_sharding(mesh, R)
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rule(x)), t)
+        params_stack, opt_state = put(params_stack), put(opt_state)
+        Xd, Yd, rngs = put(Xd), put(Yd), put(rngs)
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
     def run(params, opt_state, Xd, Yd, rngs, n_steps):
@@ -167,7 +192,7 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                               epochs: int, lr: float, batch_size: int,
                               opt: str = "adam", seed: int = 0,
                               clip_norm=None, verbose_each: int = 0,
-                              specs=None):
+                              specs=None, mesh=None):
     """Minibatch-SVI battery: R replicas, each shuffling its own split with
     its own seeded generator (the Trainer's device-resident fast path,
     vmapped over the seed axis).  One epoch = one device program; the only
@@ -175,14 +200,16 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
 
     Matches the reference's protocol for N > batch datasets
     (protein/naval/year: batch 10000, code/main.py:74), including the
-    drop_last=False remainder batch.
+    drop_last=False remainder batch.  `mesh` shards the replica axis over
+    'dp' exactly like `train_multiseed`.
     """
     R, N = X_stack.shape[0], X_stack.shape[1]
     MB = int(batch_size)
     if MB >= N:
         return train_multiseed(spec, params_stack, X_stack, Y_stack, epochs,
                                lr, opt=opt, seed=seed, clip_norm=clip_norm,
-                               verbose_each=verbose_each, specs=specs)
+                               verbose_each=verbose_each, specs=specs,
+                               mesh=mesh)
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)
@@ -191,6 +218,16 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs)
     opt_state = optimizer.init(params_stack)
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    perm_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rule = _seed_axis_sharding(mesh, R)
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rule(x)), t)
+        params_stack, opt_state = put(params_stack), put(opt_state)
+        Xd, Yd, rngs = put(Xd), put(Yd), put(rngs)
+        # per-chunk perms are (C, R, N): replica axis is dim 1
+        perm_sharding = NamedSharding(mesh, P(None, "dp", None))
     n_batches = N // MB
     rem = N % MB
 
@@ -256,6 +293,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
         perms = np.stack(
             [np.stack([g.permutation(N) for g in gens]).astype(np.int32)
              for _ in range(n)])                            # (n, R, N)
+        if perm_sharding is not None:
+            perms = jax.device_put(perms, perm_sharding)
         params_stack, opt_state, rngs, (e, ell, kld) = run_chunk(
             params_stack, opt_state, rngs, perms)
         prev = done
