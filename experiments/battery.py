@@ -200,7 +200,7 @@ def main():
         metrics = ms.eval_multiseed(spec, params, np.stack(Xte),
                                     np.stack(Yte), np.stack(Ystd),
                                     S_test=args.S_test,
-                                    fully_bayesian=fully_bayesian)
+                                    fully_bayesian=fully_bayesian, mesh=mesh)
         nll = -metrics["logL"].mean(axis=-1)   # per-seed, averaged over Dy
         rmse = metrics["rmse"].mean(axis=-1)
         print(f"\n== {tag} {args.dataset} M={args.num_inducing} "

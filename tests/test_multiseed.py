@@ -146,3 +146,10 @@ def test_battery_sharded_over_seed_axis_matches():
         p_ref, p_sh)
     np.testing.assert_allclose(c_ref["elbo"], c_sh["elbo"], rtol=2e-5,
                                atol=1e-5)
+
+    # sharded eval matches unsharded too
+    Ystd = np.ones((R, 1), np.float32)
+    m_ref = ms.eval_multiseed(spec, p_ref, Xs, Ys, Ystd, S_test=20)
+    m_sh = ms.eval_multiseed(spec, p_sh, Xs, Ys, Ystd, S_test=20, mesh=mesh)
+    np.testing.assert_allclose(m_ref["logL"], m_sh["logL"], rtol=2e-5,
+                               atol=1e-5)

@@ -317,10 +317,11 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
 
 def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
                    S_test: int = 100, seed: int = 1234,
-                   fully_bayesian: bool = False):
+                   fully_bayesian: bool = False, mesh=None):
     """Per-replica test metrics (the Trainer.compute_metrics definitions),
     computed fully on-device in one vmapped call.
 
+    `mesh` shards the replica axis over 'dp' like train_multiseed.
     Returns dict of numpy arrays: logL (R, Dy) [per-point E[log p]],
     rmse (R, Dy) [Y_std-rescaled], coverage (R, Dy) for regression;
     logL (R,), acc (R,) for classification.
@@ -357,5 +358,11 @@ def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
                 "coverage": jnp.mean(inside.astype(dtype), axis=-1)}
 
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    if mesh is not None:
+        rule = _seed_axis_sharding(mesh, R)
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), rule(x)), t)
+        params_stack, Xd, Yd = put(params_stack), put(Xd), put(Yd)
+        Ystd, rngs = put(Ystd), put(rngs)
     out = jax.vmap(kernel)(params_stack, Xd, Yd, Ystd, rngs)
     return {k: np.asarray(v) for k, v in out.items()}
