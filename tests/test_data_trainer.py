@@ -136,9 +136,6 @@ def test_trainer_adam_family_schedule_carries(opt):
     loaders = [DataLoader(ArrayDataset(X, Y), 30, seed=0)]
     tr = Trainer(spec, params, loaders, Y_std=np.ones(1))
     sched = ([0.5, 0.5], [[[0.0, "Z"]], None])
-    # lr 0.01: RAdam's pre-rectification steps are bias-corrected SGD with
-    # effective lr/(1-b1^t) (5x at t=1, faithful to the vendored rule), so
-    # the reference's lr=0.05-scale settings overshoot on a 20-epoch smoke
     tr.train(20, 0.01, opt, optimisation_schedule=sched, verbose_each=0)
     assert float(tr.loss_curve[-1]) > float(tr.loss_curve[0])
     assert isinstance(tr._opt_state_carry, GA.GroupAdamState)

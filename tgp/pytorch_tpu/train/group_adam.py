@@ -11,17 +11,22 @@ pytrees with per-leaf (lr, weight_decay, active) annotations:
   * inactive leaves (frozen / lr=0 / not yet added): no update, no moment
     accumulation, count frozen — exactly "not in the optimizer",
   * bias correction uses the per-leaf count (steps since activation),
-  * `kind` selects the update rule; all three share the (count, mu, nu)
-    state so phase changes just swap annotations and the state carries:
+  * `kind` selects the update rule, matching what the reference's factory
+    ACTUALLY instantiates (code/dsp/trainers/optimizers.py:10-22 — its
+    vendored warmup-AdamW/PlainRAdam classes are dead code there); all
+    three share the (count, mu, nu) state so phase changes just swap
+    annotations and the state carries:
       - 'adam':   torch Adam — weight decay is L2 added to the gradient
                   before the moments,
-      - 'adam_W': the reference's vendored warmup-AdamW at warmup=0
-                  (code/dsp/trainers/optimizers.py:194-265) — decoupled
-                  wd*lr*p, eps OUTSIDE the bias-corrected sqrt,
-      - 'adam_R': the reference's vendored RAdam (Liu et al.,
-                  code/dsp/trainers/optimizers.py:26-115) — rectified
-                  variance term when N_sma >= 5, degenerating to
-                  bias-corrected SGD below, decoupled wd*lr*p.
+      - 'adam_W': torch AdamW — decoupled multiplicative decay
+                  p <- p - lr*wd*p before the step, eps OUTSIDE the
+                  bias-corrected sqrt (torch semantics; the reference
+                  runs torch's default wd=0.01 — the Trainer passes that
+                  default through annotations_from_specs),
+      - 'adam_R': RAdam with degenerated_to_sgd=False, as the reference
+                  constructs it (optimizers.py:16) — rectified variance
+                  step when rho_t >= 5, NO update at all (not even weight
+                  decay) below; moments/count still accumulate.
 """
 
 from __future__ import annotations
@@ -72,20 +77,22 @@ def update(grads, state: GroupAdamState, params, lr_tree, wd_tree, active_tree,
             nu_hat = new_nu / (1 - b2t)
             upd = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
         elif kind == "adam_W":
-            step_size = lr * jnp.sqrt(1 - b2t) / (1 - b1t)
-            upd = (-step_size * new_mu / (jnp.sqrt(new_nu) + eps)
-                   - wd * lr * p)
-        else:  # adam_R
+            # torch.optim.AdamW: decoupled p <- p*(1 - lr*wd), then the
+            # standard bias-corrected Adam step (eps outside sqrt(nu_hat))
+            mu_hat = new_mu / (1 - b1t)
+            nu_hat = new_nu / (1 - b2t)
+            upd = -lr * mu_hat / (jnp.sqrt(nu_hat) + eps) - lr * wd * p
+        else:  # adam_R, degenerated_to_sgd=False (reference optimizers.py:16)
             rho_inf = 2.0 / (1.0 - b2) - 1.0
             rho_t = rho_inf - 2.0 * t * b2t / (1 - b2t)
-            # rectification term; guarded so the sqrt stays finite in the
-            # SGD branch (rho_t < 4) where its value is unused
+            # rectification term; the max() keeps the sqrt finite in the
+            # warm-up region (rho_t < 5) where no step is taken at all
             r_num = (1 - b2t) * (rho_t - 4) / (rho_inf - 4) \
                 * (rho_t - 2) / rho_t * rho_inf / (rho_inf - 2)
             r = jnp.sqrt(jnp.maximum(r_num, 0.0))
-            rect = -lr * (r / (1 - b1t)) * new_mu / (jnp.sqrt(new_nu) + eps)
-            sgd = -lr / (1 - b1t) * new_mu
-            upd = jnp.where(rho_t >= 5.0, rect, sgd) - wd * lr * p
+            rect = (-lr * (r / (1 - b1t)) * new_mu / (jnp.sqrt(new_nu) + eps)
+                    - wd * lr * p)
+            upd = jnp.where(rho_t >= 5.0, rect, jnp.zeros_like(p))
         upd = jnp.where(active, upd, 0.0)
         return upd.astype(p.dtype), new_mu, new_nu, new_cnt
 
@@ -111,9 +118,15 @@ def update(grads, state: GroupAdamState, params, lr_tree, wd_tree, active_tree,
     return updates, new_state
 
 
-def annotations_from_specs(params, specs, global_lr, frozen_labels=None):
+def annotations_from_specs(params, specs, global_lr, frozen_labels=None,
+                           default_wd: float = 0.0):
     """Build (lr_tree, wd_tree, active_tree) from reference-style specs
-    ([lr(,wd),name] substring entries; lr=0 or frozen -> inactive)."""
+    ([lr(,wd),name] substring entries; lr=0 or frozen -> inactive).
+
+    default_wd applies to unmatched parameters and to 2-entry specs that
+    don't set wd explicitly — torch semantics, where a param group without
+    weight_decay uses the optimizer's default (0.01 for torch AdamW, which
+    the reference runs with defaults, optimizers.py:14)."""
     from .optimizers import param_paths
 
     parsed = []
@@ -121,7 +134,7 @@ def annotations_from_specs(params, specs, global_lr, frozen_labels=None):
         if len(s) == 3:
             lr, wd, name = s
         else:
-            (lr, name), wd = s, 0.0
+            (lr, name), wd = s, default_wd
         parsed.append((float(lr), float(wd), str(name)))
 
     paths = param_paths(params)
@@ -132,7 +145,7 @@ def annotations_from_specs(params, specs, global_lr, frozen_labels=None):
         for lr, wd, name in parsed:
             if name in path:
                 return (lr, wd, lr != 0.0)
-        return (float(global_lr), 0.0, True)
+        return (float(global_lr), float(default_wd), True)
 
     if frozen_labels is None:
         ann = jax.tree_util.tree_map(lambda p: annotate(p, False), paths)

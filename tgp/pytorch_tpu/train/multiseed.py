@@ -86,18 +86,21 @@ def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
     return tx
 
 
-def _seed_axis_sharding(mesh, R):
-    """NamedSharding putting a leading R (replica) axis on 'dp'; leaves
-    without one (scalar step counts, shared constants) are replicated."""
+def _shard_replica_axis(mesh, R, *trees):
+    """device_put each tree with its leading R (replica) axis on 'dp';
+    leaves without one (scalar step counts, shared constants) replicate."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def rule(x):
+    def put_leaf(x):
         x = jnp.asarray(x)
         if x.ndim >= 1 and x.shape[0] == R:
-            return NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
-        return NamedSharding(mesh, P())
+            sh = NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        else:
+            sh = NamedSharding(mesh, P())
+        return jax.device_put(x, sh)
 
-    return rule
+    out = tuple(jax.tree_util.tree_map(put_leaf, t) for t in trees)
+    return out if len(out) > 1 else out[0]
 
 
 def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
@@ -128,11 +131,8 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
     if mesh is not None:
-        rule = _seed_axis_sharding(mesh, R)
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), rule(x)), t)
-        params_stack, opt_state = put(params_stack), put(opt_state)
-        Xd, Yd, rngs = put(Xd), put(Yd), put(rngs)
+        params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
+            mesh, R, params_stack, opt_state, Xd, Yd, rngs)
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
     def run(params, opt_state, Xd, Yd, rngs, n_steps):
@@ -221,11 +221,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     perm_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        rule = _seed_axis_sharding(mesh, R)
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), rule(x)), t)
-        params_stack, opt_state = put(params_stack), put(opt_state)
-        Xd, Yd, rngs = put(Xd), put(Yd), put(rngs)
+        params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
+            mesh, R, params_stack, opt_state, Xd, Yd, rngs)
         # per-chunk perms are (C, R, N): replica axis is dim 1
         perm_sharding = NamedSharding(mesh, P(None, "dp", None))
     n_batches = N // MB
@@ -359,10 +356,7 @@ def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
 
     rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
     if mesh is not None:
-        rule = _seed_axis_sharding(mesh, R)
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.asarray(x), rule(x)), t)
-        params_stack, Xd, Yd = put(params_stack), put(Xd), put(Yd)
-        Ystd, rngs = put(Ystd), put(rngs)
+        params_stack, Xd, Yd, Ystd, rngs = _shard_replica_axis(
+            mesh, R, params_stack, Xd, Yd, Ystd, rngs)
     out = jax.vmap(kernel)(params_stack, Xd, Yd, Ystd, rngs)
     return {k: np.asarray(v) for k, v in out.items()}

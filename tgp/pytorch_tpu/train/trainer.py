@@ -575,7 +575,10 @@ class Trainer:
             import optax as _optax
 
             lr_t, wd_t, act_t = GA.annotations_from_specs(
-                self.params, specs, lr_ALL, frozen_labels=frozen)
+                self.params, specs, lr_ALL, frozen_labels=frozen,
+                # the reference runs torch.optim.AdamW with defaults, so
+                # wd=0.01 applies to every group that doesn't override it
+                default_wd=0.01 if opt == "adam_W" else 0.0)
             carried = getattr(self, "_opt_state_carry", None)
             carry_ok = (carried is not None
                         and isinstance(carried, GA.GroupAdamState)
@@ -603,6 +606,7 @@ class Trainer:
         # sgd: stateless, so the per-phase optax rebuild has no observable
         # reset (torch SGD with the reference's default momentum=0 keeps no
         # moments either)
+        self._opt_state_kind = opt   # keep save()'s opt_kind label honest
         optimizer, _ = build_grouped_optimizer(
             self.params, specs, lr_ALL, opt, frozen_labels=frozen)
         if clip_norm is not None:

@@ -2,10 +2,7 @@
 
 Keeps only the LATEST line per (model, dataset, M) cell (earlier lines may
 predate bug fixes; the battery runner appends).  Prints one markdown table
-for SVGP/TGP and one for ID_TGP (PE/BA), with the reference's published
-per-dataset table values where the paper reports them (NLL; README table
-covers boston only — the per-dataset oracle is the paper's Table 1/2 grid,
-cited from bash_scripts sweep configs).
+for SVGP/TGP and one for ID_TGP (PE/BA).
 """
 
 import json
@@ -26,15 +23,6 @@ def load(path):
         key = (r["model"], r["dataset"], r.get("M"))
         cells[key] = r          # latest wins
     return cells
-
-
-def fmt(r):
-    nll = np.asarray(r["nll"], float)
-    rmse = np.asarray(r["rmse"], float)
-    n = len(nll)
-    return (f"{nll.mean():.3f} +- {nll.std():.3f}",
-            f"{rmse.mean():.3f} +- {rmse.std():.3f}",
-            f"{r.get('train_s', float('nan')):.0f}", str(n))
 
 
 def main(path="results_battery.jsonl"):
