@@ -88,3 +88,13 @@ def test_graft_entry_multichip():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):
+    """A crashed/in-flight orbax write leaves step_<N>.orbax-checkpoint-
+    tmp-<ts>; resume must skip it instead of raising ValueError."""
+    import os
+    from tgp.pytorch_tpu.train import checkpoint as C
+    os.makedirs(tmp_path / "step_5")
+    os.makedirs(tmp_path / "step_10.orbax-checkpoint-tmp-1717171717")
+    assert C.latest_step(str(tmp_path)) == 5

@@ -153,3 +153,30 @@ def test_battery_sharded_over_seed_axis_matches():
     m_sh = ms.eval_multiseed(spec, p_sh, Xs, Ys, Ystd, S_test=20, mesh=mesh)
     np.testing.assert_allclose(m_ref["logL"], m_sh["logL"], rtol=2e-5,
                                atol=1e-5)
+
+
+def test_split_call_carry_bit_identical():
+    """train(60) == train(30) -> carry -> train(30): optimizer moments and
+    rng streams continue across the call boundary (torch
+    keep_parameter_groups semantics for multi-phase battery protocols)."""
+    spec, finits = _spec()
+    R, M = 2, 6
+    data = [_make_replica(r) for r in range(R)]
+    Xs = np.stack([d[0] for d in data])
+    Ys = np.stack([d[1] for d in data])
+
+    stack_a = ms.stack_trees([_init(spec, finits, X, M) for X, _ in data])
+    p_once, c_once, _ = ms.train_multiseed(
+        spec, stack_a, Xs, Ys, epochs=60, lr=0.05, return_state=True)
+
+    stack_b = ms.stack_trees([_init(spec, finits, X, M) for X, _ in data])
+    p1, c1, st = ms.train_multiseed(
+        spec, stack_b, Xs, Ys, epochs=30, lr=0.05, return_state=True)
+    p2, c2, _ = ms.train_multiseed(
+        spec, p1, Xs, Ys, epochs=30, lr=0.05, carry=st, return_state=True)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_once),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        c_once["elbo"], np.concatenate([c1["elbo"], c2["elbo"]], axis=0))

@@ -48,18 +48,28 @@ def test_classification_battery_two_phase_hold_kernel():
     q_mu0 = np.asarray(stack0["q_mu"])
 
     # phase 1: kernel held (lr=0 spec entry -> frozen group)
-    stack1, curves1 = ms.train_multiseed(
+    stack1, curves1, state1 = ms.train_multiseed(
         spec, stack0, np.stack(Xs), np.stack(Ys), 30, 0.01,
-        specs=[[0.0, "kernel"]], seed=9)
+        specs=[[0.0, "kernel"]], seed=9, return_state=True)
     for a, b in zip(jax.tree_util.tree_leaves(kern0),
                     jax.tree_util.tree_leaves(stack1["kernel"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # everything else trained
     assert not np.allclose(np.asarray(stack1["q_mu"]), q_mu0)
+    # held leaves accumulated NO moments/steps in phase 1 (they were "not
+    # in the optimizer"), trained leaves did — reference add_param_group
+    from tgp.pytorch_tpu.train import group_adam as GA
+    gstate = state1["opt_state"]
+    assert isinstance(gstate, GA.GroupAdamState)
+    assert int(jax.tree_util.tree_leaves(gstate.count)[0]) in (0, 30)
+    kcounts = jax.tree_util.tree_leaves(gstate.count["kernel"])
+    assert all(int(c) == 0 for c in kcounts)
+    assert int(gstate.count["q_mu"]) == 30
 
-    # phase 2: released
+    # phase 2: released — moments of pre-existing groups CARRY across the
+    # boundary, the released kernel group starts fresh (torch semantics)
     stack2, curves2 = ms.train_multiseed(
-        spec, stack1, np.stack(Xs), np.stack(Ys), 30, 0.01, seed=10)
+        spec, stack1, np.stack(Xs), np.stack(Ys), 30, 0.01, carry=state1)
     assert not np.allclose(
         np.asarray(stack2["kernel"]["child"]["raw_lengthscale"]),
         np.asarray(kern0["child"]["raw_lengthscale"]))

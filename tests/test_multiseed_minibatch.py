@@ -144,3 +144,37 @@ def test_minibatch_battery_sharded_matches():
         p_ref, p_sh)
     np.testing.assert_allclose(c_ref["elbo"], c_sh["elbo"], rtol=2e-5,
                                atol=1e-5)
+
+
+def test_minibatch_split_call_carry_bit_identical():
+    """Same split-call invariant on the minibatch path (shuffle generator
+    positions carry too)."""
+    from tgp.pytorch_tpu.train import multiseed as ms
+    R, M, MB, seed = 2, 5, 20, 11
+    N = 48
+    spec, finits = _spec(N, M=M)
+    Xs, Ys, ps = [], [], []
+    for r in range(R):
+        X, Y = _make_replica(r, N=N)
+        Xs.append(X)
+        Ys.append(Y)
+        ps.append(Mm.init_tgp_params(
+            spec, X, X[:M].copy(), variance_scale=1e-5,
+            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+            noise_init=0.05, flow_inits=finits))
+    Xs, Ys = np.stack(Xs), np.stack(Ys)
+
+    p_once, c_once, _ = ms.train_multiseed_minibatch(
+        spec, ms.stack_trees(ps), Xs, Ys, 8, 0.01, batch_size=MB,
+        seed=seed, return_state=True)
+    p1, c1, st = ms.train_multiseed_minibatch(
+        spec, ms.stack_trees(ps), Xs, Ys, 4, 0.01, batch_size=MB,
+        seed=seed, return_state=True)
+    p2, c2, _ = ms.train_multiseed_minibatch(
+        spec, p1, Xs, Ys, 4, 0.01, batch_size=MB, seed=seed, carry=st,
+        return_state=True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_once),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        c_once["elbo"], np.concatenate([c1["elbo"], c2["elbo"]], axis=0))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 import shutil
 
 import jax
@@ -63,8 +64,12 @@ def save_checkpoint(path: str, params, step: int = 0, opt_state=None,
 def latest_step(path: str) -> int | None:
     if not os.path.isdir(path):
         return None
-    steps = [int(d.split("_")[1]) for d in os.listdir(path)
-             if d.startswith("step_") and not d.startswith("step_.")]
+    # only completed checkpoints: orbax names in-flight/crashed writes
+    # 'step_<N>.orbax-checkpoint-tmp-<ts>', which must not be parsed (a
+    # crashed save would otherwise break every subsequent resume) nor
+    # resumed from (they are incomplete)
+    steps = [int(m.group(1)) for d in os.listdir(path)
+             if (m := re.fullmatch(r"step_(\d+)", d))]
     return max(steps) if steps else None
 
 

@@ -67,16 +67,34 @@ def clip_by_global_norm_per_replica(max_norm: float):
 
 
 def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
-               specs=None):
+               specs=None, force_grouped=False):
     """Optimizer for the stacked pytree.  Parameter-group specs and frozen
     labels are PATH-based and every transform is elementwise, so the
     single-model machinery applies to the stacked tree verbatim and equals
-    per-replica groups."""
+    per-replica groups.
+
+    For the Adam family with groups (or when force_grouped, for cross-call
+    state carry) this uses the per-leaf grouped implementation
+    (train/group_adam.py) — the same torch `add_param_group` semantics the
+    Trainer has, so multi-phase battery protocols (hold-kernel) carry
+    moments for pre-existing groups exactly like the reference."""
     from .optimizers import make_optimizer, build_grouped_optimizer
     from .trainer import frozen_param_labels
     frozen = frozen_param_labels(spec, params_stack)
     any_frozen = any(jax.tree_util.tree_leaves(frozen))
-    if specs is not None or any_frozen:
+    grouped = specs is not None or any_frozen
+    if opt in ("adam", "adam_W", "adam_R") and (grouped or force_grouped):
+        from . import group_adam as GA
+        lr_t, wd_t, act_t = GA.annotations_from_specs(
+            params_stack, specs, lr, frozen_labels=frozen,
+            default_wd=0.01 if opt == "adam_W" else 0.0)
+
+        def update_fn(grads, state, params=None):
+            return GA.update(grads, state, params, lr_t, wd_t, act_t,
+                             kind=opt)
+
+        tx = optax.GradientTransformation(GA.init_state, update_fn)
+    elif grouped:
         tx, _ = build_grouped_optimizer(params_stack, specs or [], lr, opt,
                                         frozen)
     else:
@@ -103,10 +121,29 @@ def _shard_replica_axis(mesh, R, *trees):
     return out if len(out) > 1 else out[0]
 
 
+def _resolve_carry(optimizer, params_stack, carry, R, seed):
+    """(opt_state, rngs) for a battery call: fresh, or carried from a
+    previous call's return_state=True result (torch keep_parameter_groups
+    semantics across protocol phases — reference trainer_base.py:271-318)."""
+    opt_state = optimizer.init(params_stack)
+    if carry is None:
+        rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+        return opt_state, rngs
+    cs = carry["opt_state"]
+    if (jax.tree_util.tree_structure(cs)
+            != jax.tree_util.tree_structure(opt_state)):
+        raise ValueError(
+            "carried optimizer state does not match this call's optimizer "
+            "structure — use the same opt/clip_norm in every phase (the "
+            "grouped Adam family keeps a spec-independent state layout)")
+    return cs, jnp.asarray(carry["rngs"])
+
+
 def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
                     lr: float, opt: str = "adam", seed: int = 0,
                     chunk: int = 2000, clip_norm=None, verbose_each: int = 0,
-                    specs=None, mesh=None):
+                    specs=None, mesh=None, carry=None,
+                    return_state: bool = False):
     """Train R replicas full-batch for `epochs` steps, vmapped.
 
     Args:
@@ -118,18 +155,24 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
         10-seed protocol scales embarrassingly across chips (the only
         collective XLA inserts is the scalar loss-sum psum).  R need not
         divide the axis (GSPMD pads), but divisible R wastes nothing.
-    Returns (params_stack, curves) with curves = dict of (epochs, R)
-    arrays (elbo/ell/kld), matching the Trainer's loss_curve semantics.
+      carry / return_state: multi-phase protocols (hold-kernel) pass the
+        previous phase's returned state dict here so optimizer moments and
+        rng streams continue across the boundary exactly like the
+        Trainer/reference; splitting one run into two carried calls is
+        bit-identical to the uninterrupted run.
+    Returns (params_stack, curves[, state]) with curves = dict of
+    (epochs, R) arrays (elbo/ell/kld), matching the Trainer's loss_curve
+    semantics.
     """
     R = X_stack.shape[0]
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
         jnp.asarray(Y_stack).dtype, jnp.integer) else jnp.asarray(Y_stack, dtype)
-    optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs)
-    opt_state = optimizer.init(params_stack)
+    optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
+                           force_grouped=carry is not None or return_state)
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
-    rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R, seed)
     if mesh is not None:
         params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
             mesh, R, params_stack, opt_state, Xd, Yd, rngs)
@@ -160,15 +203,12 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
         return params, opt_state, rngs, curves
 
     curves_all = {"elbo": [], "ell": [], "kld": []}
-    # chunk boundaries align to verbose_each so the requested cadence is
-    # honoured (same chunking rule as Trainer.train's full-batch path)
-    if verbose_each:
-        chunk = min(chunk, verbose_each)
+    # the verbose cadence is printed from the fetched per-epoch curves —
+    # shrinking the device program to verbose_each would re-pay the ~30 ms
+    # tunnel dispatch per cadence tick for nothing
     done = 0
     while done < epochs:
         n = min(chunk, epochs - done)
-        if verbose_each:
-            n = min(n, verbose_each - done % verbose_each)
         params_stack, opt_state, rngs, (e, ell, kld) = run(
             params_stack, opt_state, Xd, Yd, rngs, n)
         prev = done
@@ -180,11 +220,18 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
             bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
             raise FloatingPointError(
                 f"non-finite ELBO at epoch {done} in replicas {bad.tolist()}")
-        if verbose_each and done // verbose_each > prev // verbose_each:
-            last = curves_all["elbo"][-1][-1]
-            print(f"| epoch {done}/{epochs}  ELBO "
-                  f"[{last.min():.3f} .. {last.max():.3f}] over {R} seeds")
+        if verbose_each:
+            e_np = curves_all["elbo"][-1]
+            m = (prev // verbose_each + 1) * verbose_each
+            while m <= done:
+                row = e_np[m - prev - 1]
+                print(f"| epoch {m}/{epochs}  ELBO "
+                      f"[{row.min():.3f} .. {row.max():.3f}] over {R} seeds")
+                m += verbose_each
     curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
+    if return_state:
+        return params_stack, curves, {"opt_state": opt_state,
+                                      "rngs": np.asarray(rngs)}
     return params_stack, curves
 
 
@@ -192,7 +239,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                               epochs: int, lr: float, batch_size: int,
                               opt: str = "adam", seed: int = 0,
                               clip_norm=None, verbose_each: int = 0,
-                              specs=None, mesh=None):
+                              specs=None, mesh=None, carry=None,
+                              return_state: bool = False):
     """Minibatch-SVI battery: R replicas, each shuffling its own split with
     its own seeded generator (the Trainer's device-resident fast path,
     vmapped over the seed axis).  One epoch = one device program; the only
@@ -209,15 +257,16 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
         return train_multiseed(spec, params_stack, X_stack, Y_stack, epochs,
                                lr, opt=opt, seed=seed, clip_norm=clip_norm,
                                verbose_each=verbose_each, specs=specs,
-                               mesh=mesh)
+                               mesh=mesh, carry=carry,
+                               return_state=return_state)
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)
     Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
         jnp.asarray(Y_stack, dtype)
-    optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs)
-    opt_state = optimizer.init(params_stack)
-    rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
+                           force_grouped=carry is not None or return_state)
+    opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R, seed)
     perm_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -275,18 +324,17 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     # in the epoch loop; host-side PCG64 perms are precomputed per chunk
     # (bit-identical sequence), capped at ~32 MB of index uploads
     chunk = max(1, min((1 << 23) // max(R * N, 1), 200, epochs))
-    if verbose_each:
-        chunk = min(chunk, verbose_each)
     gens = [np.random.Generator(np.random.PCG64(seed + 7919 * (r + 1)))
             for r in range(R)]
+    if carry is not None and "gen_states" in carry:
+        for g, st in zip(gens, carry["gen_states"]):
+            g.bit_generator.state = st
     curves_all = {"elbo": [], "ell": [], "kld": []}
     import time as _time
     t0 = _time.time()
     done = 0
     while done < epochs:
         n = min(chunk, epochs - done)
-        if verbose_each:
-            n = min(n, verbose_each - done % verbose_each)
         perms = np.stack(
             [np.stack([g.permutation(N) for g in gens]).astype(np.int32)
              for _ in range(n)])                            # (n, R, N)
@@ -303,12 +351,20 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
             bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
             raise FloatingPointError(
                 f"non-finite ELBO at epoch {done} in replicas {bad.tolist()}")
-        if verbose_each and done // verbose_each > prev // verbose_each:
-            last = curves_all["elbo"][-1][-1]
-            print(f"| epoch {done}/{epochs}  ELBO "
-                  f"[{last.min():.3f} .. {last.max():.3f}] over {R} seeds "
-                  f"({(_time.time() - t0) / done * 1e3:.1f}ms/ep)")
+        if verbose_each:
+            e_np = curves_all["elbo"][-1]
+            m = (prev // verbose_each + 1) * verbose_each
+            while m <= done:
+                row = e_np[m - prev - 1]
+                print(f"| epoch {m}/{epochs}  ELBO "
+                      f"[{row.min():.3f} .. {row.max():.3f}] over {R} seeds "
+                      f"({(_time.time() - t0) / done * 1e3:.1f}ms/ep)")
+                m += verbose_each
     curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
+    if return_state:
+        return params_stack, curves, {
+            "opt_state": opt_state, "rngs": np.asarray(rngs),
+            "gen_states": [g.bit_generator.state for g in gens]}
     return params_stack, curves
 
 

@@ -364,6 +364,13 @@ class Trainer:
         # periodic validation works with the scan path by aligning chunk
         # boundaries to validate_each
         ve = self.validate_each if self.validate_each else 10 ** 18
+        if self._multihost and ve <= epochs:
+            # fail fast: compute_metrics raises on multi-process meshes, and
+            # hitting that mid-run would discard hours of training
+            raise NotImplementedError(
+                "validate_each is not supported on multi-process meshes "
+                "(compute_metrics builds process-local eval arrays); set "
+                "validate_each=0 and evaluate after training")
         full_batch = (len(self.train_loader) == 1 and self.track_fn is None)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
@@ -393,10 +400,13 @@ class Trainer:
                              else self._make_scan_steps(optimizer))
                 X, Y = next(iter(self.train_loader))
                 Xd, Yd = self._put_batch(X, Y)
-                # chunk boundaries align to both validate_each and
-                # verbose_each so the requested cadences are honoured
-                chunk = int(min(phase_epochs, 2000, ve,
-                                verbose_each if verbose_each else 10 ** 18))
+                # chunk boundaries align to validate_each (eval must stop
+                # the scan); the verbose cadence is printed from the
+                # fetched per-epoch curves instead of shrinking the device
+                # program — with the default verbose_each=100 a cap here
+                # would turn ~8 dispatches into ~150, each paying the
+                # ~30 ms tunnel cost
+                chunk = int(min(phase_epochs, 2000, ve))
                 done = 0
                 t0 = time.time()
                 while done < phase_epochs:
@@ -411,13 +421,18 @@ class Trainer:
                     self.ell_curve.extend(np.asarray(curves[1]))
                     self.kld_curve.extend(np.asarray(curves[2]))
                     self._check_finite(f"epoch {ep_done}")
-                    # honour the requested cadence like the other two paths:
-                    # print only when a chunk crosses a verbose_each multiple
-                    if verbose_each and (ep_done // verbose_each
-                                         > prev_ep // verbose_each):
-                        print(f"| epoch {ep_done}/{epochs}  "
-                              f"ELBO {float(self.loss_curve[-1]):.4f} "
-                              f"({(time.time() - t0) / done * 1e3:.2f}ms/ep)")
+                    # honour the requested cadence like the other two
+                    # paths: one line per verbose_each multiple the chunk
+                    # crossed, values read from the fetched curves
+                    if verbose_each:
+                        base = len(self.loss_curve) - ep_done
+                        m = (prev_ep // verbose_each + 1) * verbose_each
+                        while m <= ep_done:
+                            print(f"| epoch {m}/{epochs}  ELBO "
+                                  f"{float(self.loss_curve[base + m - 1]):.4f} "
+                                  f"({(time.time() - t0) / done * 1e3:.2f}"
+                                  f"ms/ep)")
+                            m += verbose_each
                     if ve <= epochs and ep_done % ve == 0:
                         print(f"|   eval @ {ep_done}: {self.compute_metrics()}")
                 self._opt_state_carry = opt_state
@@ -550,8 +565,18 @@ class Trainer:
             self._opt_state_kind = "adam"   # pre-kind checkpoints were adam
         if self.mesh is not None:
             from ..parallel import param_sharding
-            self.params = jax.device_put(
-                self.params, param_sharding(self.spec, self.params, self.mesh))
+            shardings = param_sharding(self.spec, self.params, self.mesh)
+            if self._multihost:
+                # same placement rule as __init__: a multi-process mesh
+                # spans non-addressable devices, so plain device_put would
+                # fail — every process contributes its local (= full,
+                # params are never dp-sharded) view
+                self.params = jax.tree_util.tree_map(
+                    lambda x, sh: jax.make_array_from_process_local_data(
+                        sh, np.asarray(x), np.shape(x)),
+                    self.params, shardings)
+            else:
+                self.params = jax.device_put(self.params, shardings)
         return step
 
     def _build_phase_optimizer(self, specs, lr_ALL, opt, frozen,
