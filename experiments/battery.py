@@ -196,6 +196,14 @@ def main():
         verbose_each=max(args.epochs // 5, 1), mesh=mesh)
     train_s = time.time() - t0
 
+    if getattr(spec, "has_bn_flow", False):
+        # recalibrate hypernet batch-norm statistics per replica before any
+        # evaluation (the Trainer does this automatically; eval with init
+        # stats would silently score a different network than was trained)
+        per = [M.finalize_batch_norm(spec, ms.unstack_tree(params, r), Xtr[r])
+               for r in range(R)]
+        params = ms.stack_trees(per)
+
     def report(tag, fully_bayesian):
         metrics = ms.eval_multiseed(spec, params, np.stack(Xte),
                                     np.stack(Yte), np.stack(Ystd),

@@ -180,3 +180,37 @@ def test_split_call_carry_bit_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(
         c_once["elbo"], np.concatenate([c1["elbo"], c2["elbo"]], axis=0))
+
+
+def test_bn_battery_finalizes_stats_per_replica():
+    """Battery pipelines must recalibrate BN statistics before eval —
+    finalize composes with unstack/stack and changes eval outputs."""
+    from tgp.pytorch_tpu.models import tgp as Mm2
+    R = 2
+    rng = np.random.RandomState(7)
+    Xs = np.stack([rng.randn(40, 3) + 3.0 * r for r in range(R)])
+    Ys = np.stack([rng.randn(40, 1) for _ in range(R)])
+    flow_list = G.SAL(1, input_dependent=True, input_dim=3,
+                      batch_norm=1, dropout=0.0, hidden_dim=8,
+                      hidden_activation="relu", num_hidden_layers=1,
+                      inference="MC_dropout")
+    fspec, finits = spec_from_list(flow_list)
+    spec = Mm2.TGPSpec(Dy=1, Dx=3, M=5, N=40.0,
+                       kernel=K.from_name("scale_rbf"),
+                       likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                 quad_points=8),
+                       flow=fspec)
+    assert spec.has_bn_flow
+    ps = [Mm2.init_tgp_params(spec, Xs[r], Xs[r][:5].copy(),
+                              flow_inits=finits) for r in range(R)]
+    stack = ms.stack_trees(ps)
+    stack, _ = ms.train_multiseed(spec, stack, Xs, Ys, epochs=5, lr=0.01)
+
+    m_raw = ms.eval_multiseed(spec, stack, Xs, Ys, np.ones((R, 1)), S_test=8)
+    fin = ms.stack_trees([
+        Mm2.finalize_batch_norm(spec, ms.unstack_tree(stack, r), Xs[r])
+        for r in range(R)])
+    m_fin = ms.eval_multiseed(spec, fin, Xs, Ys, np.ones((R, 1)), S_test=8)
+    # replicas see shifted inputs, so recalibrated stats change the scores
+    assert not np.allclose(m_raw["logL"], m_fin["logL"])
+    assert np.isfinite(m_fin["logL"]).all()
