@@ -74,7 +74,6 @@ def main():
     from tgp.pytorch_tpu.ops import kernels as K
     from tgp.pytorch_tpu.models import tgp as M
     from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
-    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
     from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
     from tgp.pytorch_tpu.train import multiseed as ms
 
@@ -99,37 +98,28 @@ def main():
     flow_spec = IDENTITY_SPEC
     flow_inits = None
     flow_fitted = None                    # per-seed fitted params (Step*)
-    import exp_config as EC
+    import flow_arch as FA
     if args.model == "ID_TGP":
         # input-dependent SAL hypernets (ID sweep table); the anchor fit
         # (reference main.py:193-208) runs per seed, then training is the
         # same vmapped scan — hypernet weights are ordinary pytree leaves
-        nb, act, nh, dr, bn, width = EC.ID_TGP_REGRESSION_SWEEP[args.dataset]
         np.random.seed(cfg.config_seed)
-        fl = G.SAL(nb, input_dependent=True, input_dim=Dx,
-                   hidden_activation=act, num_hidden_layers=nh, dropout=dr,
-                   batch_norm=bn, hidden_dim=width, inference="MC_dropout")
-        flow_spec, flow_inits = spec_from_list(fl)
+        flow_spec, flow_inits = FA.build_id_flow(args.dataset, Dx)
     if args.model == "TGP":
-        if args.arch:
-            parts = args.arch.split(":")
-            arch, nb = parts[0], int(parts[1])
-            ns = int(parts[2]) if len(parts) > 2 else None
-        else:
-            arch, nb, ns = EC.TGP_REGRESSION_SWEEP[args.dataset]
-            if args.num_blocks:
-                nb = args.num_blocks
+        try:
+            arch, nb, ns = FA.resolve_tgp_arch(
+                args.dataset,
+                arch_override=FA.parse_arch_flag(args.arch) if args.arch
+                else None,
+                num_blocks=None if args.arch else args.num_blocks)
+        except ValueError as e:
+            p.error(str(e))
         np.random.seed(cfg.config_seed)
-        if arch.startswith("Step"):
-            if ns is None and arch != "StepAllL":
-                p.error(f"--arch {arch}:{nb} needs NUM_STEPS "
-                        f"({arch}:{nb}:<steps>)")
+        if FA.is_step_arch(arch):
             # per-seed identity-fit initializer (reference main.py:168-190):
             # each split's Y range differs, so each replica gets its own fit
             from tgp.pytorch_tpu.flows.initializers import fit_flow_to_identity
-            gen = getattr(G, arch)
-            make = ((lambda: gen(nb, add_f0=True)) if ns is None
-                    else (lambda: gen(nb, ns, add_f0=True)))
+            make = FA.make_step_gen(arch, nb, ns)
             flow_fitted = []
             for r in range(R):
                 y = Ytr[r]
@@ -138,10 +128,8 @@ def main():
                     num_restarts=1, num_epochs=2000)
                 print(f"seed {seeds[r]}: identity-fit MSE {mse:.3e}")
                 flow_fitted.append(fitted)
-        elif arch in ("SAL", "ArcSL", "BoxCoxL", "InverseBoxCoxL", "Affine"):
-            flow_spec, flow_inits = spec_from_list(getattr(G, arch)(nb))
-        else:                              # chains like SAL_BCL
-            flow_spec, flow_inits = spec_from_list(G.build_chain(arch, nb))
+        else:
+            flow_spec, flow_inits = FA.build_point_flow(arch, nb)
 
     lik = (LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
            if args.model == "SVGP" else

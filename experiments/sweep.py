@@ -37,7 +37,6 @@ def run_one(model, dataset, seed, M, epochs, precision, suite,
     from tgp.pytorch_tpu.models import tgp as Mm
     from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
     from tgp.pytorch_tpu.train import Trainer
-    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
     from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
     from tgp.pytorch_tpu.flows.initializers import fit_flow_to_identity
 
@@ -46,39 +45,26 @@ def run_one(model, dataset, seed, M, epochs, precision, suite,
     is_class = dc["task"] == "classification"
     Z0 = kmeans_centers(dc["X_tr"], M, n_init=10)
 
-    # flow arch selection from the sweep tables
+    # flow arch selection from the sweep tables (shared dispatch:
+    # experiments/flow_arch.py keeps sweep and battery in lockstep)
+    import flow_arch as FA
     flow_spec, flow_inits, fitted = IDENTITY_SPEC, None, None
     if model != "SVGP":
-        table = (EC.TGP_CLASSIFICATION_SWEEP if is_class
-                 else EC.TGP_REGRESSION_SWEEP)
-        id_table = (EC.ID_TGP_CLASSIFICATION_SWEEP if is_class
-                    else EC.ID_TGP_REGRESSION_SWEEP)
         np.random.seed(0)
         if model == "ID_TGP":
-            nb, act, nh, dr, bn, width = id_table[dataset]
-            fl = G.SAL(nb, input_dependent=True, input_dim=Dx,
-                       hidden_activation=act, num_hidden_layers=nh,
-                       dropout=dr, batch_norm=bn, hidden_dim=width,
-                       inference="MC_dropout")
-            flow_spec, flow_inits = spec_from_list(fl)
+            flow_spec, flow_inits = FA.build_id_flow(dataset, Dx, is_class)
         else:
-            arch, nb, ns = (arch_override if arch_override is not None
-                            else table[dataset])
-            if arch.startswith("Step"):
-                gen = getattr(G, arch)
-                make = ((lambda: gen(nb, add_f0=True)) if ns is None
-                        else (lambda: gen(nb, ns, add_f0=True)))
+            arch, nb, ns = FA.resolve_tgp_arch(dataset, is_class,
+                                               arch_override=arch_override)
+            if FA.is_step_arch(arch):
+                make = FA.make_step_gen(arch, nb, ns)
                 y = dc["Y_tr"]
                 flow_spec, fitted, _ = fit_flow_to_identity(
                     make,
                     float(np.min(y)) - 1, float(np.max(y)) + 1,
                     num_epochs=2000)
-            elif arch in ("SAL", "ArcSL", "BoxCoxL", "InverseBoxCoxL", "Affine"):
-                fl = getattr(G, arch)(nb)
-                flow_spec, flow_inits = spec_from_list(fl)
-            else:  # chains like SAL_BCL
-                fl = G.build_chain(arch, nb)
-                flow_spec, flow_inits = spec_from_list(fl)
+            else:
+                flow_spec, flow_inits = FA.build_point_flow(arch, nb)
 
     # likelihood
     if is_class:
@@ -165,9 +151,8 @@ def main():
 
     arch_override = None
     if args.arch:
-        parts = args.arch.split(":")
-        arch_override = (parts[0], int(parts[1]),
-                         int(parts[2]) if len(parts) > 2 else None)
+        import flow_arch as FA
+        arch_override = FA.parse_arch_flag(args.arch)
 
     if args.datasets is None:
         args.datasets = {
