@@ -143,11 +143,17 @@ def main():
                    default=EC.SWEEP_NUM_INDUCING)
     p.add_argument("--epochs", type=int, default=15000)
     p.add_argument("--precision", default="fp32")
+    p.add_argument("--platform", default=None, choices=[None, "tpu", "cpu"],
+                   help="pin the jax platform (the axon plugin ignores the "
+                        "JAX_PLATFORMS env var; this uses jax.config)")
     p.add_argument("--out", default=None)
     p.add_argument("--arch", default=None,
                    help="override the TGP flow arch table: NAME:NUM_BLOCKS"
                         "[:NUM_STEPS], e.g. StepAllL:2 or StepTanhL:10:2")
     args = p.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     arch_override = None
     if args.arch:
