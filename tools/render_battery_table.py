@@ -28,7 +28,7 @@ def load(path):
 def main(path="results_battery.jsonl"):
     cells = load(path)
     print("| dataset | SVGP NLL | TGP NLL | SVGP RMSE | TGP RMSE |"
-          " SVGP wall s | TGP wall s |")
+          " SVGP wall s (eff steps/s) | TGP wall s (eff steps/s) |")
     print("|---|---|---|---|---|---|---|")
     for d in ORDER:
         s = cells.get(("SVGP", d, 100))
@@ -42,7 +42,12 @@ def main(path="results_battery.jsonl"):
                     v = np.asarray(r[which], float)
                     row.append(f"{v.mean():.3f} +- {v.std():.3f}")
         for r in (s, t):
-            row.append("—" if r is None else f"{r.get('train_s', 0):.0f}")
+            if r is None:
+                row.append("—")
+            else:
+                w = r.get("train_s", 0)
+                eff = len(r["seeds"]) * r["epochs"] / w if w else 0
+                row.append(f"{w:.0f} ({eff:.0f})")
         print("| " + " | ".join(row) + " |")
 
     print()
