@@ -59,11 +59,18 @@ def main(epochs=500):
     def timed(arm):
         # two-length differencing: compile + dispatch cost cancels (scan
         # body traces once regardless of length — CLAUDE.md microbenchmark
-        # recipe); per-epoch time = (t_long - t_short) / (n_long - n_short)
+        # recipe); per-epoch time = (t_long - t_short) / (n_long - n_short).
+        # Each length runs twice and keeps the min: the very first compile
+        # of a session is much colder than later ones (XLA compile cache),
+        # which would otherwise make the difference negative.
         n_short, n_long = 100, 100 + epochs
-        t_s, _ = run(n_short)
-        t_l, curves = run(n_long)
+        t_s = min(run(n_short)[0], run(n_short)[0])
+        t_l1, curves = run(n_long)
+        t_l = min(t_l1, run(n_long)[0])
         dt = t_l - t_s
+        if dt <= 0:
+            print(json.dumps({"arm": arm, "warning": "non-positive diff",
+                              "t_short": t_s, "t_long": t_l}))
         print(json.dumps({"arm": arm, "epochs": epochs, "R": R, "N": N,
                           "M": Mind, "wall_s": round(dt, 3),
                           "eff_steps_per_s": round(R * epochs / dt, 1),
