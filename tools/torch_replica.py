@@ -170,6 +170,85 @@ def sal_flow(num_blocks, hyper=None):
     return CompositeFlow(flows)
 
 
+class TanhFlow(nn.Module):
+    """fk = a + softplus(b)*tanh((f0-c)/softplus(d)), flow.py:619-773
+    (set_restrictions always True inside step flows)."""
+
+    def __init__(self, init_a, init_b, init_c, init_d):
+        super().__init__()
+        self.a = nn.Parameter(torch.tensor(float(init_a)))
+        self.b = nn.Parameter(torch.tensor(float(init_b)))
+        self.c = nn.Parameter(torch.tensor(float(init_c)))
+        self.d = nn.Parameter(torch.tensor(float(init_d)))
+
+    def forward(self, f0, X=None):
+        return self.a + softplus(self.b) * torch.tanh(
+            (f0 - self.c) / softplus(self.d))
+
+
+class StepFlow(nn.Module):
+    """fk = sum_i flow_i(f0) (+ f0), flow.py:1039-1127.  For tanh steps the
+    switch_off gate (flow.py:1130-1149) is non-trainable => a=1, b=0."""
+
+    def __init__(self, flows, add_init_f0=True):
+        super().__init__()
+        self.flows = nn.ModuleList(flows)
+        self.add_init_f0 = add_init_f0
+
+    def forward(self, f0, X=None):
+        fk = 0.0
+        for fl in self.flows:
+            fk = fk + fl(f0, X)
+        if self.add_init_f0:
+            fk = fk + f0
+        return fk
+
+
+def steptanhl_flow(num_blocks, num_steps):
+    """flows.py:239-281 StepTanhL with add_f0=True, init_random=False:
+    per step e1..e4 ~ np.random.randn(4); e2,e4 -> inv_softplus(|(e+1)/S|);
+    block = StepFlow([tanh]*S, add_f0) + Affine(1,0)."""
+    flows = []
+    for _ in range(num_blocks):
+        steps = []
+        for _ in range(num_steps):
+            e1, e2, e3, e4 = np.random.randn(4)
+            e2 = float(inv_softplus(abs((e2 + 1.0) / num_steps)))
+            e4 = float(inv_softplus(abs((e4 + 1.0) / num_steps)))
+            steps.append(TanhFlow(e1, e2, e3, e4))
+        flows.append(StepFlow(steps, add_init_f0=True))
+        flows.append(AffineFlow(1.0, 0.0, False))
+    return CompositeFlow(flows)
+
+
+def find_forward_params(y_min, y_max, random_flow_fn, num_restarts=1,
+                        num_epochs=2000, seed=0):
+    """initializers.py:29-109 + main.py:172-190: fit flow(x)=x by MSE on
+    x = linspace(Y.min()-1, Y.max()+1, 5000), Adam lr=0.01 (the default
+    optimizer_fn), full batch, NaN-filtered restarts, argmin final loss."""
+    np.random.seed(seed)
+    x = torch.tensor(np.linspace(y_min - 1.0, y_max + 1.0, 5000))
+    found, losses = [], []
+    for _ in range(num_restarts):
+        fl = random_flow_fn()
+        opt = torch.optim.Adam(fl.parameters(), lr=0.01)
+        loss = None
+        for _e in range(num_epochs):
+            opt.zero_grad()
+            loss = torch.mean((fl(x) - x) ** 2)
+            loss.backward()
+            opt.step()
+        found.append(fl)
+        losses.append(float(loss.detach()))
+    ok = np.logical_not(np.isnan(losses))
+    if not ok.any():
+        raise RuntimeError("Got MSE loss to Nan on the flow initializer.")
+    losses = np.array(losses)[ok]
+    found = [f for f, k in zip(found, ok) if k]
+    best = int(np.argmin(losses))
+    return found[best], float(losses[best])
+
+
 ## ===================== model ============================================ ##
 
 class SparseTGP(nn.Module):
@@ -364,7 +443,7 @@ def run(args):
     from tgp.pytorch_tpu.data.registry import return_dataset
     from sklearn.cluster import KMeans
 
-    torch.manual_seed(0)
+    torch.manual_seed(args.torch_seed)
     np.random.seed(0)  # cg.set_seed(cg.config_seed=0), config.py:33-35,66
 
     loaders, dc = return_dataset(args.dataset, 10000, use_validation=None,
@@ -382,16 +461,26 @@ def run(args):
     init_Z = km.cluster_centers_
 
     hyper = None
+    t_init = 0.0
     if args.model == "SVGP":
         flow = None
-        nb = 0
     elif args.model == "TGP":
-        nb = {"power": 2, "boston": 10}[args.dataset]
-        if args.dataset != "power":
-            raise SystemExit("TGP replica currently supports power (SAL x2); "
-                             "boston uses StepTanhL which needs the identity-"
-                             "fit initializer replica")
-        flow = sal_flow(nb)
+        # exp_config.py:31-56: power = SAL x2; boston = StepTanhL 10x2
+        if args.dataset == "power":
+            flow = sal_flow(2)
+        elif args.dataset == "boston":
+            t0 = time.time()
+            y_tr = Y_tr_full.numpy()
+            flow, mse = find_forward_params(
+                float(y_tr.min()), float(y_tr.max()),
+                lambda: steptanhl_flow(10, 2),
+                num_restarts=1, num_epochs=args.init_epochs, seed=0)
+            t_init = time.time() - t0
+            print(f"StepTanhL identity-fit: MSE={mse:.3e} in {t_init:.1f}s",
+                  flush=True)
+        else:
+            raise SystemExit("TGP replica supports power (SAL x2) and "
+                             "boston (StepTanhL 10x2)")
     elif args.model == "ID_TGP":
         cfgs = {"power": (3, "relu", 2, 0.25, 50),
                 "boston": (1, "tanh", 1, 0.5, 25)}  # exp_config.py:4-27
@@ -404,7 +493,6 @@ def run(args):
     model = SparseTGP(Dx, args.num_inducing, N_tr, init_Z, flow,
                       quad_points=100)
 
-    t_init = 0.0
     if args.model == "ID_TGP":
         t0 = time.time()
         fit_hypernets_to_identity(model, X_tr, epochs=args.init_epochs)
@@ -474,7 +562,7 @@ def run(args):
            "epochs": args.epochs, "final": True,
            "test_nll": nll, "test_rmse": rmse, "coverage95": cover,
            "steps_per_sec": sps, "train_wall_s": train_time,
-           "init_wall_s": t_init,
+           "init_wall_s": t_init, "torch_seed": args.torch_seed,
            "torch_threads": torch.get_num_threads()}
     out.write(json.dumps(rec) + "\n")
     print(rec, flush=True)
@@ -497,5 +585,8 @@ if __name__ == "__main__":
     p.add_argument("--epochs", type=int, default=15000)
     p.add_argument("--init_epochs", type=int, default=2000)
     p.add_argument("--log_each", type=int, default=250)
+    p.add_argument("--torch_seed", type=int, default=0,
+                   help="torch.manual_seed (dropout masks / MC eval); vary "
+                        "for scatter estimates of stochastic cells")
     p.add_argument("--out", default="results_torch_replica.jsonl")
     run(p.parse_args())
