@@ -122,6 +122,11 @@ def main():
             make = FA.make_step_gen(arch, nb, ns)
             flow_fitted = []
             for r in range(R):
+                # reseed per replica: sweep.py launches one process per
+                # seed, each reseeding np.random before the fit — a single
+                # seed before the loop would give replicas r>0 different
+                # flow inits than the serial protocol (ADVICE r2)
+                np.random.seed(cfg.config_seed)
                 y = Ytr[r]
                 flow_spec, fitted, mse = fit_flow_to_identity(
                     make, float(y.min()) - 1.0, float(y.max()) + 1.0,

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def parse_args():
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TGP on TPU (JAX)")
     p.add_argument("--model", required=True, choices=["SVGP", "TGP", "ID_TGP"])
     p.add_argument("--dataset", required=True)
@@ -39,11 +39,17 @@ def parse_args():
     p.add_argument("--S_test", type=int, default=100)
     p.add_argument("--verbose_each", type=int, default=100)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--fast_solves", action="store_true",
+                   help="explicit L^{-1} GEMM solves (models/tgp.py)")
+    p.add_argument("--solve_precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="MXU pass count for the factor applications; the "
+                        "K_zz Cholesky always stays 'highest'")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "
                         "the device count; see parallel/mesh.py)")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
 def run(args):
@@ -121,6 +127,7 @@ def run(args):
         Dy=Dy, Dx=Dx, M=args.num_inducing, N=float(dc["N_tr"]),
         kernel=K.from_name("scale_rbf"), likelihood=lik, flow=flow_spec,
         mean="zero", whiten=True,
+        fast_solves=args.fast_solves, solve_precision=args.solve_precision,
     )
     params = M.init_tgp_params(
         spec, dc["X_tr"], Z0, variance_scale=1e-5, mean_scale=0.0,

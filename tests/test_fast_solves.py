@@ -47,3 +47,20 @@ def test_fast_solves_matches_trsm_path():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_solve_precision_modes_agree_on_cpu():
+    """solve_precision only changes MXU pass counts — on the CPU backend
+    every mode is exact fp32, so all three must agree bitwise-closely and
+    stay differentiable (the TPU deltas are measured in
+    benchmarks/solve_precision.py)."""
+    spec, params, X, Y = _model()
+    base = dataclasses.replace(spec, fast_solves=True)
+    e0 = M.elbo(base, params, X, Y)[0]
+    for prec in ("high", "default"):
+        sp = dataclasses.replace(base, solve_precision=prec)
+        e1 = M.elbo(sp, params, X, Y)[0]
+        np.testing.assert_allclose(float(e1), float(e0), rtol=1e-6)
+        g = jax.grad(lambda p: -M.elbo(sp, p, X, Y)[0])(params)
+        assert all(np.isfinite(l).all() for l in
+                   map(np.asarray, jax.tree_util.tree_leaves(g)))

@@ -97,7 +97,7 @@ def _single_process_reference():
     tr = Trainer(spec, params, loaders, Y_std=np.ones(Dy), seed=3,
                  mesh=make_mesh(dp=8, ty=1))
     tr.train(EPOCHS, 0.01, "adam", verbose_each=0)
-    return float(tr.loss_curve[-1])
+    return float(tr.loss_curve[-1]), tr.compute_metrics()
 
 
 @pytest.mark.skipif(os.environ.get("TGP_SKIP_MULTIHOST") == "1",
@@ -112,8 +112,19 @@ def test_two_process_cluster_matches_single_process():
     # (b) the 2-process x 4-device run reproduces the single-process
     # 8-device mesh run (same global device count; only the cross-process
     # collective implementation differs -> reduction-order noise at most)
-    ref = _single_process_reference()
+    ref, ref_m = _single_process_reference()
     assert np.isclose(outs[0]["elbo"], ref, rtol=2e-3), (outs[0]["elbo"], ref)
+    # (c) distributed compute_metrics: identical (psum-replicated) on both
+    # processes, and equal to single-process metrics on the deterministic
+    # parts (logL/rmse); coverage is MC-sampled -> loose tolerance
+    assert outs[0]["mh_logL"] == outs[1]["mh_logL"]
+    assert outs[0]["mh_rmse"] == outs[1]["mh_rmse"]
+    np.testing.assert_allclose(outs[0]["mh_logL"], ref_m["test"]["logL"],
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(outs[0]["mh_rmse"], ref_m["test"]["rmse"],
+                               rtol=5e-3)
+    np.testing.assert_allclose(outs[0]["mh_coverage"],
+                               ref_m["test"]["coverage"], atol=0.1)
 
 
 @pytest.mark.skipif(os.environ.get("TGP_SKIP_MULTIHOST") == "1",

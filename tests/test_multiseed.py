@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from tgp.pytorch_tpu import config as cfg
 from tgp.pytorch_tpu.ops import kernels as K
@@ -180,6 +181,15 @@ def test_split_call_carry_bit_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(
         c_once["elbo"], np.concatenate([c1["elbo"], c2["elbo"]], axis=0))
+
+    # the Adam family shares one (count, mu, nu) state layout, so a kind
+    # switch must raise rather than reinterpret moments (ADVICE r2)
+    with pytest.raises(ValueError, match="opt_kind"):
+        ms.train_multiseed(spec, p2, Xs, Ys, epochs=1, lr=0.05,
+                           opt="adam_W", carry=st)
+    with pytest.raises(ValueError, match="clip_norm"):
+        ms.train_multiseed(spec, p2, Xs, Ys, epochs=1, lr=0.05,
+                           clip_norm=1.0, carry=st)
 
 
 def test_bn_battery_finalizes_stats_per_replica():

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -117,6 +118,16 @@ class TGPSpec:
     #: element-order guarantees — keep False for fp64 parity runs, enable
     #: for large-M fp32 throughput.
     fast_solves: bool = False
+    #: MXU pass count for the N-dimension solve/projection contractions
+    #: (the L^{-1}/L^{-T} applications and the K_xz projections in
+    #: marginal_qf): 'highest' = 6-pass true-fp32 (the global default,
+    #: config.py:65-72), 'high' = 3-pass bf16x3, 'default' = single bf16
+    #: pass with fp32 accumulation.  The K_zz Gram + Cholesky ALWAYS stay
+    #: at the global 'highest' — dropping them NaNs the near-singular
+    #: factorization (CLAUDE.md) — so this splits precision exactly at the
+    #: factorize/apply boundary.  Measured (benchmarks/solve_precision.py):
+    #: see PARITY.md mixed-precision section before enabling.
+    solve_precision: str = "highest"
 
     @property
     def has_flow(self) -> bool:
@@ -310,19 +321,29 @@ def marginal_qf(spec: TGPSpec, params, X, *, diagonal: bool = True):
 
     Kzx = jnp.swapaxes(Kxz, -1, -2)               # (Dy, M, MB)
 
+    # factorize/apply precision split: the near-singular K_zz Cholesky above
+    # always runs under the global 'highest'; the O(N M^2) APPLICATIONS of
+    # the factor below may drop MXU passes via spec.solve_precision (the
+    # trsm fallback ignores it — XLA's TriangularSolve expansion has no
+    # per-op precision — so 'default'/'high' pair with fast_solves=True)
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[spec.solve_precision]
+    ein = partial(jnp.einsum, precision=prec)
+
     if spec.whiten:
         if spec.fast_solves:
             # one (M,M) trsm for L^{-1}, then GEMMs (full-rate MXU path)
             eye = jnp.broadcast_to(jnp.eye(M, dtype=L.dtype), L.shape)
             Linv = tril_solve(L, eye)             # (Dy, M, M)
-            sol = jnp.einsum("dmk,dmo->dko", Linv, q_mu[..., None])
-            rhs = jnp.einsum("dkm,dmn->dkn", Linv, Kzx)
+            sol = ein("dmk,dmo->dko", Linv, q_mu[..., None])
+            rhs = ein("dkm,dmn->dkn", Linv, Kzx)
         else:
             sol = triu_solve(jnp.swapaxes(L, -1, -2), q_mu[..., None])
             rhs = tril_solve(L, Kzx)              # (Dy, M, MB) = L^{-1} K_zx
         # mu = K_xz L^{-T} m + mu_x
-        mu = jnp.einsum("dnm,dmo->dn", Kxz, sol) + mu_x
-        A = jnp.einsum("dmk,dmn->dkn", Lq, rhs)   # Lq^T rhs
+        mu = ein("dnm,dmo->dn", Kxz, sol) + mu_x
+        A = ein("dmk,dmn->dkn", Lq, rhs)          # Lq^T rhs
         if diagonal:
             Kxx = kernels_mod.gram_diag(spec.kernel, kp, X, same=True)
             cov = Kxx - jnp.sum(jnp.square(rhs), axis=-2) + jnp.sum(jnp.square(A), axis=-2)
@@ -330,22 +351,22 @@ def marginal_qf(spec: TGPSpec, params, X, *, diagonal: bool = True):
         else:
             Kxx = kernels_mod.gram(spec.kernel, kp, X, X, same=True)
             sol2 = cholesky_solve(L, Kzx)
-            cov = Kxx - jnp.einsum("dnm,dmk->dnk", Kxz, sol2) \
-                + jnp.einsum("dmn,dmk->dnk", A, A)
+            cov = Kxx - ein("dnm,dmk->dnk", Kxz, sol2) \
+                + ein("dmn,dmk->dnk", A, A)
     else:
         mu_z = mean_apply(spec.mean, mp, Z)
         lhs = cholesky_solve(L, (q_mu - mu_z)[..., None])
-        mu = jnp.einsum("dnm,dmo->dn", Kxz, lhs) + mu_x
+        mu = ein("dnm,dmo->dn", Kxz, lhs) + mu_x
         sol2 = cholesky_solve(L, Kzx)             # K_zz^{-1} K_zx
-        B = jnp.einsum("dmk,dmn->dkn", Lq, sol2)  # Lq^T K_zz^{-1} K_zx
+        B = ein("dmk,dmn->dkn", Lq, sol2)         # Lq^T K_zz^{-1} K_zx
         if diagonal:
             Kxx = kernels_mod.gram_diag(spec.kernel, kp, X, same=True)
             cov = Kxx - jnp.sum(Kzx * sol2, axis=-2) + jnp.sum(jnp.square(B), axis=-2)
             cov = jnp.maximum(cov, spec.min_var)
         else:
             Kxx = kernels_mod.gram(spec.kernel, kp, X, X, same=True)
-            cov = Kxx - jnp.einsum("dnm,dmk->dnk", Kxz, sol2) \
-                + jnp.einsum("dmn,dmk->dnk", B, B)
+            cov = Kxx - ein("dnm,dmk->dnk", Kxz, sol2) \
+                + ein("dmn,dmk->dnk", B, B)
 
     return mu, cov
 

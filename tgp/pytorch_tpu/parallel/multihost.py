@@ -157,6 +157,37 @@ def fetch_params(tree):
     return jax.tree_util.tree_map(fetch, tree)
 
 
+def psum_across_processes(mesh, vec):
+    """Sum a per-process host vector across every process of `mesh`.
+
+    Used by the multihost eval path (Trainer.compute_metrics): each process
+    evaluates its row shard locally and contributes its metric accumulators
+    here.  Implementation: each process writes its vector into the first of
+    its (process-major) 'dp' rows of a global (dp, K) array, zeros
+    elsewhere; a jitted sum over the dp axis with replicated output makes
+    XLA insert the cross-process all-reduce.  All processes must call this
+    in lockstep (it is a collective)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vec = np.atleast_1d(np.asarray(vec, np.float64))
+    nproc = len({d.process_index for d in mesh.devices.flat})
+    if nproc == 1:
+        return vec
+    dp = mesh.shape["dp"]
+    assert dp % nproc == 0, "global_mesh lays 'dp' out process-major"
+    per = dp // nproc
+    local = np.zeros((per,) + vec.shape, vec.dtype)
+    local[0] = vec
+    sh = NamedSharding(mesh, P("dp", *([None] * vec.ndim)))
+    garr = jax.make_array_from_process_local_data(
+        sh, local, (dp,) + vec.shape)
+    out = jax.jit(lambda a: jnp.sum(a, axis=0),
+                  out_shardings=NamedSharding(mesh, P()))(garr)
+    return np.asarray(out.addressable_data(0), np.float64)
+
+
 def replicate_global(mesh, tree):
     """Replicate a host pytree onto every device of a multi-process mesh
     (all processes must pass identical values — true for seeded inits)."""

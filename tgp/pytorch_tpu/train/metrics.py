@@ -10,14 +10,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def calibration_measures(probs, labels, bins: int = 15):
-    """Expected/maximum calibration error + Brier + NLL.
+def calibration_accumulators(probs, labels, bins: int = 15):
+    """Summable calibration statistics for a shard of predictions.
 
-    Args:
-      probs: (N, C) predicted probabilities.
-      labels: (N,) int labels.
-    Returns dict(ECE, MCE, BRIER, NLL_mean).
-    """
+    Returns a flat float64 vector [count_b, acc_sum_b, conf_sum_b]*bins +
+    [brier_sum, nll_sum, N]: every entry is a SUM over samples, so shards
+    (minibatches, processes) compose by vector addition — the multihost
+    eval path psums these and finalizes once globally (ECE/MCE need global
+    bin means; a per-process ECE would not average correctly)."""
     probs = np.asarray(probs)
     labels = np.asarray(labels).astype(int)
     N, C = probs.shape
@@ -26,20 +26,46 @@ def calibration_measures(probs, labels, bins: int = 15):
     acc = (pred == labels).astype(np.float64)
 
     edges = np.linspace(0.0, 1.0, bins + 1)
-    ece, mce = 0.0, 0.0
-    for lo, hi in zip(edges[:-1], edges[1:]):
+    vec = np.zeros(3 * bins + 3)
+    for b, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
         sel = (conf > lo) & (conf <= hi)
-        if not sel.any():
-            continue
-        gap = abs(acc[sel].mean() - conf[sel].mean())
-        ece += sel.mean() * gap
-        mce = max(mce, gap)
-
+        vec[3 * b] = sel.sum()
+        vec[3 * b + 1] = acc[sel].sum()
+        vec[3 * b + 2] = conf[sel].sum()
     onehot = np.eye(C)[labels]
-    brier = np.mean(np.sum((probs - onehot) ** 2, axis=1))
+    vec[-3] = np.sum((probs - onehot) ** 2)
     eps = 1e-12
-    nll = -np.mean(np.log(np.clip(probs[np.arange(N), labels], eps, 1.0)))
-    return {"ECE": ece, "MCE": mce, "BRIER": brier, "NLL": nll}
+    vec[-2] = -np.sum(np.log(np.clip(probs[np.arange(N), labels], eps, 1.0)))
+    vec[-1] = N
+    return vec
+
+
+def calibration_from_accumulators(vec, bins: int = 15):
+    """Finalize ECE/MCE/BRIER/NLL from (a sum of) accumulator vectors."""
+    vec = np.asarray(vec)
+    N = vec[-1]
+    ece, mce = 0.0, 0.0
+    for b in range(bins):
+        cnt, acc_s, conf_s = vec[3 * b: 3 * b + 3]
+        if cnt == 0:
+            continue
+        gap = abs(acc_s / cnt - conf_s / cnt)
+        ece += (cnt / N) * gap
+        mce = max(mce, gap)
+    return {"ECE": ece, "MCE": mce, "BRIER": vec[-3] / N,
+            "NLL": vec[-2] / N}
+
+
+def calibration_measures(probs, labels, bins: int = 15):
+    """Expected/maximum calibration error + Brier + NLL.
+
+    Args:
+      probs: (N, C) predicted probabilities.
+      labels: (N,) int labels.
+    Returns dict(ECE, MCE, BRIER, NLL_mean).
+    """
+    return calibration_from_accumulators(
+        calibration_accumulators(probs, labels, bins), bins)
 
 
 def coverage_95(samples, Y):

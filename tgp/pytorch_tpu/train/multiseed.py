@@ -121,14 +121,28 @@ def _shard_replica_axis(mesh, R, *trees):
     return out if len(out) > 1 else out[0]
 
 
-def _resolve_carry(optimizer, params_stack, carry, R, seed):
+def _resolve_carry(optimizer, params_stack, carry, R, seed, opt=None,
+                   clip_norm=None):
     """(opt_state, rngs) for a battery call: fresh, or carried from a
     previous call's return_state=True result (torch keep_parameter_groups
-    semantics across protocol phases — reference trainer_base.py:271-318)."""
+    semantics across protocol phases — reference trainer_base.py:271-318).
+
+    Structure alone cannot distinguish the Adam family (adam/adam_W/adam_R
+    share the (count, mu, nu) layout), so the carry also records the
+    optimizer kind and clip setting; a mismatch raises rather than silently
+    reinterpreting moments under a different update rule (the Trainer
+    resets on a kind switch for the same reason)."""
     opt_state = optimizer.init(params_stack)
     if carry is None:
         rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
         return opt_state, rngs
+    for key, want in (("opt_kind", opt), ("clip_norm", clip_norm)):
+        if key in carry and carry[key] != want:
+            raise ValueError(
+                f"carried optimizer state was produced with "
+                f"{key}={carry[key]!r} but this call uses {want!r} — "
+                "use the same opt/clip_norm in every phase, or pass "
+                "carry=None to reset moments deliberately")
     cs = carry["opt_state"]
     if (jax.tree_util.tree_structure(cs)
             != jax.tree_util.tree_structure(opt_state)):
@@ -163,6 +177,11 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     Returns (params_stack, curves[, state]) with curves = dict of
     (epochs, R) arrays (elbo/ell/kld), matching the Trainer's loss_curve
     semantics.
+
+    NOTE: the jitted chunk donates params_stack and opt_state
+    (donate_argnums), so the CALLER'S input device buffers are invalidated
+    by the first chunk — keep using the returned stack, and jnp.copy()
+    first if the input must stay live (tools/pallas_battery_ab.py does).
     """
     R = X_stack.shape[0]
     dtype = cfg.default_dtype()
@@ -172,7 +191,8 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
                            force_grouped=carry is not None or return_state)
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
-    opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R, seed)
+    opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R,
+                                     seed, opt=opt, clip_norm=clip_norm)
     if mesh is not None:
         params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
             mesh, R, params_stack, opt_state, Xd, Yd, rngs)
@@ -231,7 +251,9 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
     if return_state:
         return params_stack, curves, {"opt_state": opt_state,
-                                      "rngs": np.asarray(rngs)}
+                                      "rngs": np.asarray(rngs),
+                                      "opt_kind": opt,
+                                      "clip_norm": clip_norm}
     return params_stack, curves
 
 
@@ -250,6 +272,10 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     (protein/naval/year: batch 10000, code/main.py:74), including the
     drop_last=False remainder batch.  `mesh` shards the replica axis over
     'dp' exactly like `train_multiseed`.
+
+    NOTE: donates params_stack/opt_state like `train_multiseed` — the
+    caller's input device buffers are dead after the first chunk; use the
+    returned stack (jnp.copy() the input first if it must stay live).
     """
     R, N = X_stack.shape[0], X_stack.shape[1]
     MB = int(batch_size)
@@ -266,7 +292,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
         jnp.asarray(Y_stack, dtype)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
                            force_grouped=carry is not None or return_state)
-    opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R, seed)
+    opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R,
+                                     seed, opt=opt, clip_norm=clip_norm)
     perm_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -364,6 +391,7 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     if return_state:
         return params_stack, curves, {
             "opt_state": opt_state, "rngs": np.asarray(rngs),
+            "opt_kind": opt, "clip_norm": clip_norm,
             "gen_states": [g.bit_generator.state for g in gens]}
     return params_stack, curves
 

@@ -362,15 +362,10 @@ class Trainer:
         frozen = frozen_param_labels(self.spec, self.params)
         ep_done = 0
         # periodic validation works with the scan path by aligning chunk
-        # boundaries to validate_each
+        # boundaries to validate_each; on multi-process meshes every process
+        # reaches the same boundaries in lockstep and compute_metrics'
+        # accumulator psum is the only collective
         ve = self.validate_each if self.validate_each else 10 ** 18
-        if self._multihost and ve <= epochs:
-            # fail fast: compute_metrics raises on multi-process meshes, and
-            # hitting that mid-run would discard hours of training
-            raise NotImplementedError(
-                "validate_each is not supported on multi-process meshes "
-                "(compute_metrics builds process-local eval arrays); set "
-                "validate_each=0 and evaluate after training")
         full_batch = (len(self.train_loader) == 1 and self.track_fn is None)
         for per, specs in zip(percentages, specifications):
             phase_epochs = int(epochs * per)
@@ -647,7 +642,13 @@ class Trainer:
         return _eval_batch(self.spec, params, X, Y, S_MC, fully_bayesian,
                            self.S_test, Y_std, rng)
 
-    def _metrics_for_loader(self, loader):
+    def _metrics_for_loader(self, loader, shard=None, params=None):
+        """Accumulate metric sums over `loader` and finalize.
+
+        shard=(p, nproc): evaluate only this process's contiguous slice of
+        every batch's rows and return RAW accumulators (the multihost path
+        psums them and finalizes globally); params overrides self.params
+        (host-fetched copies on multi-process meshes)."""
         spec = self.spec
         Dy = spec.Dy
         is_class = spec.likelihood.kind in ("bernoulli", "categorical")
@@ -659,12 +660,22 @@ class Trainer:
         all_probs, all_labels = [], []
         Y_std_d = jnp.asarray(self.Y_std, cfg.default_dtype())
         S_MC = self.S_test if self.fully_bayesian else 1
+        if params is None:
+            params = self.params
         for X, Y in loader:
+            rng = self._next_rng()   # advance in lockstep on every process
+            if shard is not None:
+                p, nproc = shard
+                rows = np.array_split(np.arange(np.shape(X)[0]), nproc)[p]
+                if rows.size == 0:
+                    continue
+                X, Y = np.asarray(X)[rows], np.asarray(Y)[rows]
+                # decorrelate the MC draws across row shards
+                rng = np.asarray(jax.random.fold_in(jnp.asarray(rng), p))
             Xd = jnp.asarray(X, cfg.default_dtype())
             Yd = jnp.asarray(Y, cfg.default_dtype())
-            rng = self._next_rng()
             log_p, m1, samples = self._eval_batch(
-                self.params, Xd, Yd, S_MC, self.fully_bayesian, Y_std_d, rng)
+                params, Xd, Yd, S_MC, self.fully_bayesian, Y_std_d, rng)
             log_p = np.asarray(log_p)
             m1 = np.asarray(m1)
             tot += X.shape[0]
@@ -682,6 +693,17 @@ class Trainer:
                     rmse[d] += np.sum((m1[d] - np.asarray(Y)[:, d]) ** 2)
                     inside = (np.asarray(Y)[:, d] >= q[0, d]) & (np.asarray(Y)[:, d] <= q[1, d])
                     coverage[d] += inside.sum()
+        if shard is not None:
+            from .metrics import calibration_accumulators
+            calib = None
+            if is_class:
+                # fixed length even for a row-less shard: every process must
+                # contribute the same vector shape to the psum
+                calib = (calibration_accumulators(
+                    np.concatenate(all_probs), np.concatenate(all_labels))
+                    if all_probs else np.zeros(3 * 15 + 3))
+            return {"ElogL": ElogL, "rmse": rmse, "coverage": coverage,
+                    "correct": correct, "tot": float(tot), "calib": calib}
         out = {"logL": ElogL / tot}
         if is_class:
             out["acc"] = correct / tot
@@ -699,15 +721,7 @@ class Trainer:
         """Full-split metrics for train/valid/test.
         reference: trainers_regression.py:108-155."""
         if self._multihost:
-            # eval kernels build process-local batch arrays, which cannot mix
-            # with multi-process global parameters; the multi-host workflow is
-            # train distributed -> fetch -> evaluate locally
-            # (tools/multihost_train.py)
-            raise NotImplementedError(
-                "compute_metrics on a multi-process mesh: fetch the "
-                "(dp-replicated) parameters with tree_map(np.asarray, "
-                "trainer.params) and evaluate per process, as in "
-                "tools/multihost_train.py")
+            return self._compute_metrics_multihost()
         import contextlib
         ctx = contextlib.nullcontext()
         if self.eval_device == "cpu":
@@ -718,4 +732,51 @@ class Trainer:
                 res["valid"] = self._metrics_for_loader(self.valid_loader)
             if self.test_loader is not None:
                 res["test"] = self._metrics_for_loader(self.test_loader)
+        return res
+
+    def _compute_metrics_multihost(self):
+        """Multi-process eval: each process evaluates its contiguous row
+        slice of every batch with host-fetched parameter copies (purely
+        process-local programs — the global ty/dp shardings never enter the
+        eval kernels), then the metric accumulators are cross-process
+        psummed and finalized identically to the single-process path.
+        Scales the reference eval loop (trainers_regression.py:108-155) the
+        way train() scales its step: same program on every process, only
+        placement differs."""
+        from ..parallel.multihost import fetch_params, psum_across_processes
+        nproc = len({d.process_index for d in self.mesh.devices.flat})
+        p = jax.process_index()
+        params_host = fetch_params(self.params)
+        loaders = [("train", self.train_loader)]
+        if self.valid_loader is not None:
+            loaders.append(("valid", self.valid_loader))
+        if self.test_loader is not None:
+            loaders.append(("test", self.test_loader))
+        res = {}
+        with jax.default_device(jax.local_devices()[0]):
+            for name, loader in loaders:
+                acc = self._metrics_for_loader(loader, shard=(p, nproc),
+                                               params=params_host)
+                has_calib = acc["calib"] is not None
+                # every accumulator is a sum over rows -> psum composes
+                vec = np.concatenate(
+                    [acc["ElogL"], acc["rmse"], acc["coverage"],
+                     [acc["correct"], acc["tot"]]]
+                    + ([acc["calib"]] if has_calib else []))
+                vec = psum_across_processes(self.mesh, vec)
+                nL, Dy = len(acc["ElogL"]), self.spec.Dy
+                ElogL, rest = vec[:nL], vec[nL:]
+                rmse_s, cov_s = rest[:Dy], rest[Dy:2 * Dy]
+                correct, tot = rest[2 * Dy], rest[2 * Dy + 1]
+                out = {"logL": ElogL / tot}
+                if self.spec.likelihood.kind in ("bernoulli", "categorical"):
+                    out["acc"] = correct / tot
+                    if has_calib:
+                        from .metrics import calibration_from_accumulators
+                        out["calibration"] = calibration_from_accumulators(
+                            rest[2 * Dy + 2:])
+                else:
+                    out["rmse"] = self.Y_std * np.sqrt(rmse_s / tot)
+                    out["coverage"] = cov_s / tot
+                res[name] = out
         return res

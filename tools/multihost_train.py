@@ -88,6 +88,9 @@ def main():
     tr.train(args.epochs, 0.01, "adam", verbose_each=0)
 
     final_elbo = float(tr.loss_curve[-1])
+    # distributed evaluation: every process evaluates its row shard, the
+    # accumulators cross-process psum (Trainer._compute_metrics_multihost)
+    mh_metrics = tr.compute_metrics()
     # dp-replicated / ty-sharded params are fully fetchable per process
     host_params = mh.fetch_params(tr.params)
     leaves = jax.tree_util.tree_leaves(host_params)
@@ -105,6 +108,9 @@ def main():
         "elbo": round(final_elbo, 4),
         "param_md5": h.hexdigest(),
         "test_nll": round(nll, 4),
+        "mh_logL": np.round(mh_metrics["test"]["logL"], 6).tolist(),
+        "mh_rmse": np.round(mh_metrics["test"]["rmse"], 6).tolist(),
+        "mh_coverage": np.round(mh_metrics["test"]["coverage"], 6).tolist(),
     }), flush=True)
     jax.distributed.shutdown()
 

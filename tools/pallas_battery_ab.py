@@ -71,6 +71,7 @@ def main(epochs=500):
         if dt <= 0:
             print(json.dumps({"arm": arm, "warning": "non-positive diff",
                               "t_short": t_s, "t_long": t_l}))
+            return None
         print(json.dumps({"arm": arm, "epochs": epochs, "R": R, "N": N,
                           "M": Mind, "wall_s": round(dt, 3),
                           "eff_steps_per_s": round(R * epochs / dt, 1),
@@ -81,8 +82,12 @@ def main(epochs=500):
     dt_pallas = timed("pallas_vmap")
     K.USE_PALLAS = False
     dt_jnp = timed("jnp_fallback")
-    print(json.dumps({"speedup_pallas_over_jnp": round(dt_jnp / dt_pallas,
-                                                       3)}))
+    if dt_pallas and dt_jnp:
+        print(json.dumps({"speedup_pallas_over_jnp":
+                          round(dt_jnp / dt_pallas, 3)}))
+    else:
+        print(json.dumps({"warning": "speedup skipped: a timing arm had a "
+                          "non-positive two-length difference"}))
 
 
 if __name__ == "__main__":
