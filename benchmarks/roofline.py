@@ -161,6 +161,52 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
         bytes_=dt_bytes * (quad * Dy * N),  # one fused pass over (S,Dy,N)
         bound="VPU/HBM elementwise")
 
+    # 4b. attribution of 4: is the chain actually at the VPU ceiling?
+    # Evidence, not a label (VERDICT r2):
+    #   (i)  XLA's cost_analysis of the isolated chain = exact FLOP and
+    #        transcendental counts per evaluation;
+    #   (ii) an empirical transcendental ceiling: a pure exp+reduce over
+    #        the SAME (S, Dy, N) footprint, fused exactly like the chain
+    #        (no HBM traffic), timed the same two-point way;
+    #   (iii) predicted chain time = T_transc / exp_rate + F_flops /
+    #        flops_rate, compared with the measured stage time.  A ratio
+    #        near 1 proves the VPU-transcendental bound; >>1 means
+    #        headroom a Pallas kernel could claim.
+    chain_c = (jax.jit(lambda mu_, var_: jnp.sum(
+        gaussian_flow_ell(spec.likelihood, params["likelihood"],
+                          Yd.T, mu_, var_, warp)))
+        .lower(mu, var).compile().cost_analysis())
+    chain_c = chain_c[0] if isinstance(chain_c, list) else chain_c
+    elems = float(quad * Dy * N)
+
+    zeros_S = jnp.zeros((quad, 1, 1), mu.dtype)
+
+    def pure_exp(x0, c):                  # 1 exp per element, fused reduce
+        z = jnp.exp(mu[None, :, :] * 1e-3 + c + zeros_S)
+        return jnp.sum(z) * 1e-30
+
+    KF = 16
+
+    def pure_fma(x0, c):                  # KF dependent FMAs per element
+        z = mu[None, :, :] + c + zeros_S
+        for _ in range(KF):
+            z = z * 1.0000001 + 1e-7
+        return jnp.sum(z) * 1e-30
+
+    t_exp = timed(pure_exp, Xd, repeats)
+    t_fma = timed(pure_fma, Xd, repeats)
+    exp_rate = elems / t_exp                        # fused exp/s achieved
+    flop_rate = 2.0 * KF * elems / t_fma            # fused flop/s achieved
+    T_tr = float(chain_c.get("transcendentals", 0.0))
+    F_fl = float(chain_c.get("flops", 0.0))
+    predicted = T_tr / exp_rate + F_fl / flop_rate
+    add("quad_chain_attribution", t, bound=(
+        f"VPU: XLA counts {T_tr / elems:.1f} transc + {F_fl / elems:.1f} "
+        f"flops per quad element; measured ceilings exp {exp_rate / 1e9:.1f}"
+        f" G/s, fma {flop_rate / 1e12:.2f} TFLOP/s; predicted "
+        f"{predicted * 1e6:.0f} us vs measured {t * 1e6:.0f} us -> "
+        f"headroom x{t / max(predicted, 1e-12):.2f}"))
+
     # 5. full ELBO forward
     t = timed(lambda x0, c: Mm.elbo(spec, params, Xd + c * 0, Yd)[0] * 1e-30,
               Xd, repeats)

@@ -123,6 +123,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--nll", action="store_true",
                     help="also run the full power M=100 protocol per arm")
+    ap.add_argument("--skip_bench", action="store_true",
+                    help="skip the throughput arms (only --nll runs)")
     ap.add_argument("--epochs", type=int, default=15000)
     args = ap.parse_args()
     if args.platform:
@@ -136,6 +138,8 @@ def main():
         ("mid_M256", 16384, 256, 1, 8, 100, 100),
         ("large_M512", 65536, 512, 1, 8, 100, 25),
     ]
+    if args.skip_bench:
+        configs = []
     for name, N, M, Dy, Dx, quad, chunk in configs:
         base = None
         for label, fast, prec in ARMS:
