@@ -186,19 +186,49 @@ class TanhFlow(nn.Module):
             (f0 - self.c) / softplus(self.d))
 
 
-class StepFlow(nn.Module):
-    """fk = sum_i flow_i(f0) (+ f0), flow.py:1039-1127.  For tanh steps the
-    switch_off gate (flow.py:1130-1149) is non-trainable => a=1, b=0."""
+class InvBoxCoxFlow(nn.Module):
+    """fk = sgn(lam f0+1)|lam f0+1|^(1/lam) (+ f0), flow.py:423-449.
+    constraint None uses raw lam (the Step* generator default the battery
+    mirrors); the chain generators use the bounded sigmoid_ref instead."""
 
-    def __init__(self, flows, add_init_f0=True):
+    def __init__(self, init_lam, add_init_f0):
         super().__init__()
-        self.flows = nn.ModuleList(flows)
+        self.lam = nn.Parameter(torch.tensor(float(init_lam)))
         self.add_init_f0 = add_init_f0
 
     def forward(self, f0, X=None):
+        aux = self.lam * f0 + 1.0
+        sgn = torch.sign(aux)
+        fk = sgn * torch.pow(sgn * aux, 1.0 / self.lam)
+        return fk + f0 if self.add_init_f0 else fk
+
+
+class StepFlow(nn.Module):
+    """fk = sum_i [a_i flow_i(f0) + b_i] (+ f0), flow.py:1039-1127.  tanh
+    steps get the non-trainable switch_off gate (a=1, b=0); boxcox/
+    inverseboxcox/sinh_arcsinh steps get trainable gates with
+    a = softplus(raw), raw init = inv_softplus(1/n_steps), b init 0
+    (flow.py:1130-1149)."""
+
+    def __init__(self, flows, add_init_f0=True, gated=False):
+        super().__init__()
+        self.flows = nn.ModuleList(flows)
+        self.add_init_f0 = add_init_f0
+        self.gated = gated
+        if gated:
+            n = len(flows)
+            raw = float(inv_softplus(1.0 / n))
+            self.gate_a = nn.Parameter(torch.full((n,), raw))
+            self.gate_b = nn.Parameter(torch.zeros(n))
+
+    def forward(self, f0, X=None):
         fk = 0.0
-        for fl in self.flows:
-            fk = fk + fl(f0, X)
+        for i, fl in enumerate(self.flows):
+            if self.gated:
+                fk = fk + softplus(self.gate_a[i]) * fl(f0, X) \
+                    + self.gate_b[i]
+            else:
+                fk = fk + fl(f0, X)
         if self.add_init_f0:
             fk = fk + f0
         return fk
@@ -217,6 +247,22 @@ def steptanhl_flow(num_blocks, num_steps):
             e4 = float(inv_softplus(abs((e4 + 1.0) / num_steps)))
             steps.append(TanhFlow(e1, e2, e3, e4))
         flows.append(StepFlow(steps, add_init_f0=True))
+        flows.append(AffineFlow(1.0, 0.0, False))
+    return CompositeFlow(flows)
+
+
+def stepinvbcl_flow(num_blocks, num_steps):
+    """flows.py:391-422 StepInverseBoxCoxL with add_f0=True,
+    init_random=False, constraint=None (exactly the battery's
+    make_step_gen arm): per step lam ~ randn(1)+5; gated StepFlow
+    (trainable switch_off) + Affine(1,0)."""
+    flows = []
+    for _ in range(num_blocks):
+        steps = []
+        for _ in range(num_steps):
+            lam = float(np.random.randn(1)) + 5.0
+            steps.append(InvBoxCoxFlow(lam, add_init_f0=True))
+        flows.append(StepFlow(steps, add_init_f0=True, gated=True))
         flows.append(AffineFlow(1.0, 0.0, False))
     return CompositeFlow(flows)
 
@@ -468,19 +514,23 @@ def run(args):
         # exp_config.py:31-56: power = SAL x2; boston = StepTanhL 10x2
         if args.dataset == "power":
             flow = sal_flow(2)
-        elif args.dataset == "boston":
+        elif args.dataset in ("boston", "concrete"):
+            # boston: StepTanhL 10x2 (exp_config.py:31-41); concrete:
+            # StepInverseBoxCoxL 5x2 (the battery's table arch — the
+            # reference's committed exp_utils.py cannot dispatch it)
+            gen = ((lambda: steptanhl_flow(10, 2)) if args.dataset == "boston"
+                   else (lambda: stepinvbcl_flow(5, 2)))
             t0 = time.time()
             y_tr = Y_tr_full.numpy()
             flow, mse = find_forward_params(
-                float(y_tr.min()), float(y_tr.max()),
-                lambda: steptanhl_flow(10, 2),
+                float(y_tr.min()), float(y_tr.max()), gen,
                 num_restarts=1, num_epochs=args.init_epochs, seed=0)
             t_init = time.time() - t0
-            print(f"StepTanhL identity-fit: MSE={mse:.3e} in {t_init:.1f}s",
+            print(f"Step identity-fit: MSE={mse:.3e} in {t_init:.1f}s",
                   flush=True)
         else:
-            raise SystemExit("TGP replica supports power (SAL x2) and "
-                             "boston (StepTanhL 10x2)")
+            raise SystemExit("TGP replica supports power (SAL x2), boston "
+                             "(StepTanhL 10x2), concrete (StepInvBCL 5x2)")
     elif args.model == "ID_TGP":
         cfgs = {"power": (3, "relu", 2, 0.25, 50),
                 "boston": (1, "tanh", 1, 0.5, 25)}  # exp_config.py:4-27
