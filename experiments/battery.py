@@ -60,6 +60,12 @@ def main():
                    help="shard the seed (replica) axis over a DP-way device"
                         " mesh (seeds are independent, so the battery scales"
                         " embarrassingly across chips)")
+    p.add_argument("--fast_solves", action="store_true",
+                   help="explicit L^{-1} GEMM solves (models/tgp.py)")
+    p.add_argument("--solve_precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="MXU pass count for factor applications; K_zz "
+                        "Cholesky always stays 'highest'")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -142,7 +148,9 @@ def main():
                           quad_points=cfg.quad_points))
     spec = M.TGPSpec(Dy=Dy, Dx=Dx, M=args.num_inducing, N=float(N_tr),
                      kernel=K.from_name("scale_rbf"), likelihood=lik,
-                     flow=flow_spec, mean="zero", whiten=True)
+                     flow=flow_spec, mean="zero", whiten=True,
+                     fast_solves=args.fast_solves,
+                     solve_precision=args.solve_precision)
 
     import jax.numpy as jnp
     import jax.tree_util as jtu
