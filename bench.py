@@ -166,8 +166,34 @@ def bench_torch(X, Y, M=100, steps=8, warmup=2):
     return steps / (time.perf_counter() - t0)
 
 
+def _default_platform_alive(timeout_s: float = 120.0) -> bool:
+    """Probe the default jax platform in a SUBPROCESS with a timeout.
+
+    The remote TPU tunnel can wedge (clients block forever in their first
+    RPC — observed for 30+ min); a hung bench.py would cost the driver its
+    whole budget.  The probe runs out-of-process so a hang cannot poison
+    this process's backend state."""
+    import subprocess
+    import sys as _sys
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.ones((8, 8)))))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     X, Y = _load_power()
+    platform_note = ""
+    if not _default_platform_alive():
+        # fall back to CPU rather than hanging the round's benchmark
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform_note = " [DEFAULT PLATFORM UNRESPONSIVE - CPU FALLBACK]"
     ours = bench_jax(X, Y)
     try:
         base = bench_torch(X, Y)
@@ -175,7 +201,8 @@ def main():
         base = float("nan")
     out = {
         "metric": "TGP(SAL x2) UCI-power M=100 full-batch ELBO steps/sec "
-                  "(jit fp32, default platform; baseline = torch-eager fp64 CPU)",
+                  "(jit fp32, default platform; baseline = torch-eager "
+                  "fp64 CPU)" + platform_note,
         "value": round(ours, 3),
         "unit": "steps/sec",
         "vs_baseline": round(ours / base, 3) if base == base else None,
