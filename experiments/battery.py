@@ -60,6 +60,9 @@ def main():
                    help="shard the seed (replica) axis over a DP-way device"
                         " mesh (seeds are independent, so the battery scales"
                         " embarrassingly across chips)")
+    p.add_argument("--clip_norm", type=float, default=None,
+                   help="per-replica global-norm gradient clip (mitigates "
+                        "inverse-Box-Cox derivative spikes)")
     p.add_argument("--fast_solves", action="store_true",
                    help="explicit L^{-1} GEMM solves (models/tgp.py)")
     p.add_argument("--solve_precision", default="highest",
@@ -194,6 +197,7 @@ def main():
     params, curves = ms.train_multiseed_minibatch(
         spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
         batch_size=args.batch_size, seed=0, specs=specs,
+        clip_norm=args.clip_norm,
         verbose_each=max(args.epochs // 5, 1), mesh=mesh)
     train_s = time.time() - t0
 
