@@ -181,22 +181,26 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
 
     zeros_S = jnp.zeros((quad, 1, 1), mu.dtype)
 
+    # controls must be fold-proof: exp(a + c) factors into exp(c)*sum
+    # exp(a) (the loop collapses to O(1)), and an affine FMA chain
+    # composes into one FMA — multiply the carry INTO the argument and
+    # use a non-affine polynomial step instead.
     def pure_exp(x0, c):                  # 1 exp per element, fused reduce
-        z = jnp.exp(mu[None, :, :] * 1e-3 + c + zeros_S)
+        z = jnp.exp(mu[None, :, :] * (1e-3 + c) + zeros_S)
         return jnp.sum(z) * 1e-30
 
     KF = 16
 
-    def pure_fma(x0, c):                  # KF dependent FMAs per element
-        z = mu[None, :, :] + c + zeros_S
+    def pure_fma(x0, c):                  # KF dependent 2-flop steps
+        z = mu[None, :, :] * (1.0 + c) + zeros_S
         for _ in range(KF):
-            z = z * 1.0000001 + 1e-7
+            z = z - 1e-9 * z * z
         return jnp.sum(z) * 1e-30
 
     t_exp = timed(pure_exp, Xd, repeats)
     t_fma = timed(pure_fma, Xd, repeats)
     exp_rate = elems / t_exp                        # fused exp/s achieved
-    flop_rate = 2.0 * KF * elems / t_fma            # fused flop/s achieved
+    flop_rate = 3.0 * KF * elems / t_fma            # fused flop/s achieved
     T_tr = float(chain_c.get("transcendentals", 0.0))
     F_fl = float(chain_c.get("flops", 0.0))
     predicted = T_tr / exp_rate + F_fl / flop_rate
