@@ -181,17 +181,22 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
 
     zeros_S = jnp.zeros((quad, 1, 1), mu.dtype)
 
-    # controls must be fold-proof: exp(a + c) factors into exp(c)*sum
-    # exp(a) (the loop collapses to O(1)), and an affine FMA chain
-    # composes into one FMA — multiply the carry INTO the argument and
-    # use a non-affine polynomial step instead.
-    def pure_exp(x0, c):                  # 1 exp per element, fused reduce
-        z = jnp.exp(mu[None, :, :] * (1e-3 + c) + zeros_S)
+    # controls must be (a) fold-proof — exp(a + c) factors into
+    # exp(c)*sum exp(a) and an affine FMA chain composes into one FMA, so
+    # the carry multiplies INTO the argument and the steps are non-affine
+    # DEPENDENT chains; (b) deep enough per element that the per-iteration
+    # cost rises above the remote tunnel's run-to-run noise (a single exp
+    # pass is <1 us/iteration — unresolvable by two-point differencing
+    # at these lengths).
+    KE, KF = 32, 256
+
+    def pure_exp(x0, c):                  # KE dependent exps per element
+        z = mu[None, :, :] * (1e-3 + c) + zeros_S
+        for _ in range(KE):
+            z = jnp.exp(-jnp.abs(z) * 0.999)   # stays in (0, 1]
         return jnp.sum(z) * 1e-30
 
-    KF = 16
-
-    def pure_fma(x0, c):                  # KF dependent 2-flop steps
+    def pure_fma(x0, c):                  # KF dependent 3-flop steps
         z = mu[None, :, :] * (1.0 + c) + zeros_S
         for _ in range(KF):
             z = z - 1e-9 * z * z
@@ -199,8 +204,10 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
 
     t_exp = timed(pure_exp, Xd, repeats)
     t_fma = timed(pure_fma, Xd, repeats)
-    exp_rate = elems / t_exp                        # fused exp/s achieved
-    flop_rate = 3.0 * KF * elems / t_fma            # fused flop/s achieved
+    # exp chain cost per step ~ 1 exp + 2 cheap vector ops; report the
+    # conservative (pure-exp-attributed) rate
+    exp_rate = KE * elems / t_exp
+    flop_rate = 3.0 * KF * elems / t_fma
     T_tr = float(chain_c.get("transcendentals", 0.0))
     F_fl = float(chain_c.get("flops", 0.0))
     predicted = T_tr / exp_rate + F_fl / flop_rate
