@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--S_test", type=int, default=100)
     p.add_argument("--verbose_each", type=int, default=100)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--train_seed", type=int, default=0,
+                   help="Trainer rng stream (minibatch shuffling, MC "
+                        "dropout masks, eval sampling) — vary for "
+                        "run-to-run scatter estimates")
     p.add_argument("--fast_solves", action="store_true",
                    help="explicit L^{-1} GEMM solves (models/tgp.py)")
     p.add_argument("--solve_precision", default="highest",
@@ -168,7 +172,7 @@ def run(args):
         mesh = make_mesh(dp=dp, ty=ty)
         print(f"==== training on a {dp}x{ty} (dp x ty) device mesh ====")
     trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test,
-                      mesh=mesh)
+                      seed=args.train_seed, mesh=mesh)
     t0 = time.time()
     trainer.train(args.epochs, args.lr, "adam",
                   optimisation_schedule=schedule,
