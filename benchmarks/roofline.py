@@ -63,12 +63,14 @@ def timed(fn, x, repeats, warmup=2):
         for _ in range(warmup):
             loop(x).block_until_ready()
         best = np.inf
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             loop(x).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         totals.append(best)
-    return max((totals[1] - totals[0]) / (3 * repeats), 1e-9)
+    t = max((totals[1] - totals[0]) / (3 * repeats), 1e-9)
+    timed.last_totals = (totals[0], totals[1])   # raw evidence for callers
+    return t
 
 
 def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
@@ -203,7 +205,9 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
         return jnp.sum(z) * 1e-30
 
     t_exp = timed(pure_exp, Xd, repeats)
+    raw_exp = timed.last_totals
     t_fma = timed(pure_fma, Xd, repeats)
+    raw_fma = timed.last_totals
     # exp chain cost per step ~ 1 exp + 2 cheap vector ops; report the
     # conservative (pure-exp-attributed) rate
     exp_rate = KE * elems / t_exp
@@ -216,7 +220,9 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
         f"flops per quad element; measured ceilings exp {exp_rate / 1e9:.1f}"
         f" G/s, fma {flop_rate / 1e12:.2f} TFLOP/s; predicted "
         f"{predicted * 1e6:.0f} us vs measured {t * 1e6:.0f} us -> "
-        f"headroom x{t / max(predicted, 1e-12):.2f}"))
+        f"headroom x{t / max(predicted, 1e-12):.2f}; raw exp totals "
+        f"{raw_exp[0] * 1e3:.1f}/{raw_exp[1] * 1e3:.1f} ms, fma "
+        f"{raw_fma[0] * 1e3:.1f}/{raw_fma[1] * 1e3:.1f} ms"))
 
     # 5. full ELBO forward
     t = timed(lambda x0, c: Mm.elbo(spec, params, Xd + c * 0, Yd)[0] * 1e-30,
