@@ -27,6 +27,9 @@ def main():
     p.add_argument("--batch", type=int, default=10000)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--platform", default=None)
+    p.add_argument("--fast_solves", action="store_true")
+    p.add_argument("--solve_precision", default="highest",
+                   choices=["highest", "high", "default"])
     args = p.parse_args()
     if args.platform:
         import jax
@@ -67,7 +70,9 @@ def main():
     spec = M.TGPSpec(Dy=1, Dx=X.shape[1], M=args.M, N=float(N),
                      kernel=K.from_name("scale_rbf"),
                      likelihood=LikelihoodSpec("gaussian_flow", 1, quad_points=100),
-                     flow=fspec, min_var=1e-8, remat=False)
+                     flow=fspec, min_var=1e-8, remat=False,
+                     fast_solves=args.fast_solves,
+                     solve_precision=args.solve_precision)
     params = M.init_tgp_params(spec, X[:10000], Z0, variance_scale=1e-5,
                                kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
                                flow_inits=finits)
@@ -88,6 +93,8 @@ def main():
     elbo = float(tr.loss_curve[-1])
     print(json.dumps({
         "source": src, "rows": N, "M": args.M, "batch": args.batch,
+        "solves": ("fast_" + args.solve_precision if args.fast_solves
+                   else "trsm_" + args.solve_precision),
         "steps_per_sec": round(sps, 1),
         "rows_per_sec": round(sps * args.batch, 0),
         "epoch_sec": round(dt / args.epochs, 2),
