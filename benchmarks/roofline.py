@@ -181,7 +181,14 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
     chain_c = chain_c[0] if isinstance(chain_c, list) else chain_c
     elems = float(quad * Dy * N)
 
-    zeros_S = jnp.zeros((quad, 1, 1), mu.dtype)
+    # A non-constant offset along the quadrature axis.  An all-zeros
+    # (S,1,1) addend is folded away by XLA and the broadcast then SINKS
+    # through the elementwise chain — the exps execute on (1,Dy,N)
+    # elements, 1/S of the claimed work, and the "ceiling" comes out
+    # 10-1000x too high (observed round 3).  Adding two *different*
+    # broadcasts forces a true (S,Dy,N) materialisation the chain is
+    # dependent on.
+    qvar = jnp.linspace(0.1, 0.9, quad).reshape(quad, 1, 1).astype(mu.dtype)
 
     # controls must be (a) fold-proof — exp(a + c) factors into
     # exp(c)*sum exp(a) and an affine FMA chain composes into one FMA, so
@@ -193,13 +200,13 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
     KE, KF = 32, 256
 
     def pure_exp(x0, c):                  # KE dependent exps per element
-        z = mu[None, :, :] * (1e-3 + c) + zeros_S
+        z = mu[None, :, :] * (1e-3 + c) + qvar
         for _ in range(KE):
             z = jnp.exp(-jnp.abs(z) * 0.999)   # stays in (0, 1]
         return jnp.sum(z) * 1e-30
 
     def pure_fma(x0, c):                  # KF dependent 3-flop steps
-        z = mu[None, :, :] * (1.0 + c) + zeros_S
+        z = mu[None, :, :] * (1.0 + c) + qvar
         for _ in range(KF):
             z = z - 1e-9 * z * z
         return jnp.sum(z) * 1e-30
