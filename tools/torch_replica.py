@@ -186,20 +186,50 @@ class TanhFlow(nn.Module):
             (f0 - self.c) / softplus(self.d))
 
 
+def _sigmoid_ref(raw):
+    """The reference's documented Box-Cox constraint (flows.py:150-155):
+    lam = 2*sigmoid(0.3*raw - 1.5) + 0.05, so raw init 5.0 -> lam ~= 1.05
+    ~= identity.  Without it unconstrained lam=5 chains diverge."""
+    return 2.0 * torch.sigmoid(0.3 * raw - 1.5) + 0.05
+
+
 class InvBoxCoxFlow(nn.Module):
     """fk = sgn(lam f0+1)|lam f0+1|^(1/lam) (+ f0), flow.py:423-449.
     constraint None uses raw lam (the Step* generator default the battery
     mirrors); the chain generators use the bounded sigmoid_ref instead."""
 
-    def __init__(self, init_lam, add_init_f0):
+    def __init__(self, init_lam, add_init_f0, constraint=None):
         super().__init__()
         self.lam = nn.Parameter(torch.tensor(float(init_lam)))
         self.add_init_f0 = add_init_f0
+        self.constraint = constraint
+
+    def _lam(self):
+        return _sigmoid_ref(self.lam) if self.constraint == "sigmoid_ref" \
+            else self.lam
 
     def forward(self, f0, X=None):
-        aux = self.lam * f0 + 1.0
+        lam = self._lam()
+        aux = lam * f0 + 1.0
         sgn = torch.sign(aux)
-        fk = sgn * torch.pow(sgn * aux, 1.0 / self.lam)
+        fk = sgn * torch.pow(sgn * aux, 1.0 / lam)
+        return fk + f0 if self.add_init_f0 else fk
+
+
+class BoxCoxFlow(nn.Module):
+    """fk = (sgn(f0)|f0|^lam - 1)/lam (+ f0), flow.py:377-416."""
+
+    def __init__(self, init_lam, add_init_f0, constraint=None):
+        super().__init__()
+        self.lam = nn.Parameter(torch.tensor(float(init_lam)))
+        self.add_init_f0 = add_init_f0
+        self.constraint = constraint
+
+    def forward(self, f0, X=None):
+        lam = _sigmoid_ref(self.lam) if self.constraint == "sigmoid_ref" \
+            else self.lam
+        sgn = torch.sign(f0)
+        fk = (sgn * torch.pow(sgn * f0, lam) - 1.0) / lam
         return fk + f0 if self.add_init_f0 else fk
 
 
@@ -247,6 +277,29 @@ def steptanhl_flow(num_blocks, num_steps):
             e4 = float(inv_softplus(abs((e4 + 1.0) / num_steps)))
             steps.append(TanhFlow(e1, e2, e3, e4))
         flows.append(StepFlow(steps, add_init_f0=True))
+        flows.append(AffineFlow(1.0, 0.0, False))
+    return CompositeFlow(flows)
+
+
+def sal_bcl_flow(num_blocks):
+    """flows.py:71-109 build_chain('SAL_BCL', nb): per block SAL(1) +
+    BoxCoxL(1) with the bounded sigmoid_ref lambda constraint (raw init
+    5.0 -> lam ~= 1.05 ~= identity); all affines (1, 0) unrestricted."""
+    flows = []
+    for _ in range(num_blocks):
+        flows.append(SinhArcsinhFlow(0.0, 1.0, False))
+        flows.append(AffineFlow(1.0, 0.0, False))
+        flows.append(BoxCoxFlow(5.0, False, constraint="sigmoid_ref"))
+        flows.append(AffineFlow(1.0, 0.0, False))
+    return CompositeFlow(flows)
+
+
+def invbcl_flow(num_blocks):
+    """flows.py:167-189 InverseBoxCoxL(nb) with the sigmoid_ref
+    constraint: per block inverse-BoxCox(raw 5.0) + Affine(1, 0)."""
+    flows = []
+    for _ in range(num_blocks):
+        flows.append(InvBoxCoxFlow(5.0, False, constraint="sigmoid_ref"))
         flows.append(AffineFlow(1.0, 0.0, False))
     return CompositeFlow(flows)
 
@@ -514,6 +567,10 @@ def run(args):
         # exp_config.py:31-56: power = SAL x2; boston = StepTanhL 10x2
         if args.dataset == "power":
             flow = sal_flow(2)
+        elif args.dataset == "wine_white":
+            flow = sal_bcl_flow(10)      # SAL_BCL 10 (exp_config.py:58)
+        elif args.dataset == "kin8nm":
+            flow = invbcl_flow(1)        # InverseBoxCoxL 1 (exp_config.py:53)
         elif args.dataset in ("boston", "concrete"):
             # boston: StepTanhL 10x2 (exp_config.py:31-41); concrete:
             # StepInverseBoxCoxL 5x2 (the battery's table arch — the
@@ -530,7 +587,8 @@ def run(args):
                   flush=True)
         else:
             raise SystemExit("TGP replica supports power (SAL x2), boston "
-                             "(StepTanhL 10x2), concrete (StepInvBCL 5x2)")
+                             "(StepTanhL 10x2), concrete (StepInvBCL 5x2), "
+                             "wine_white (SAL_BCL 10), kin8nm (InvBCL 1)")
     elif args.model == "ID_TGP":
         cfgs = {"power": (3, "relu", 2, 0.25, 50),
                 "boston": (1, "tanh", 1, 0.5, 25)}  # exp_config.py:4-27
