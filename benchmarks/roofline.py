@@ -189,47 +189,70 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
     # broadcasts forces a true (S,Dy,N) materialisation the chain is
     # dependent on.
     qvar = jnp.linspace(0.1, 0.9, quad).reshape(quad, 1, 1).astype(mu.dtype)
+    # The base array must be random data, NOT the model's `mu`: at init the
+    # whitened mean is EXACTLY zero, and XLA folds mul(zeros-literal, x)
+    # to zeros at compile time — the entire control chain then constant-
+    # folds and the loop measures pure scan overhead (~70 us/iter flat in
+    # depth; observed round 3).  The real stage-4 chain does not suffer
+    # this (verified in its compiled HLO: all transcendentals full-size)
+    # because `var` is non-degenerate.
+    base = jnp.asarray(np.random.RandomState(7).randn(*mu.shape), mu.dtype)
 
     # controls must be (a) fold-proof — exp(a + c) factors into
     # exp(c)*sum exp(a) and an affine FMA chain composes into one FMA, so
     # the carry multiplies INTO the argument and the steps are non-affine
-    # DEPENDENT chains; (b) deep enough per element that the per-iteration
-    # cost rises above the remote tunnel's run-to-run noise (a single exp
-    # pass is <1 us/iteration — unresolvable by two-point differencing
-    # at these lengths).
+    # DEPENDENT chains; (b) DEPTH-DIFFERENCED: a single control at one
+    # depth also pays the footprint's fixed cost (operand reads, fusion-
+    # boundary materialisations, the final reduce) — at these sizes that
+    # floor dominates and the inferred "ceiling" comes out 5-10x above
+    # hardware peak (observed: exp and fma arms measuring identical wall
+    # time).  Timing each control at two depths and differencing isolates
+    # the pure per-op marginal cost, exactly like the two-length scan
+    # difference isolates the per-iteration cost.
+    def ctrl_exp(K_):
+        def f(x0, c):                     # K_ dependent exps per element
+            z = base[None, :, :] * (1e-3 + c) + qvar
+            for _ in range(K_):
+                z = jnp.exp(-jnp.abs(z) * 0.999)   # stays in (0, 1]
+            return jnp.sum(z) * 1e-30
+        return f
+
+    def ctrl_fma(K_):
+        def f(x0, c):                     # K_ dependent 3-flop steps
+            z = base[None, :, :] * (1.0 + c) + qvar
+            for _ in range(K_):
+                z = z - 1e-9 * z * z
+            return jnp.sum(z) * 1e-30
+        return f
+
     KE, KF = 32, 256
-
-    def pure_exp(x0, c):                  # KE dependent exps per element
-        z = mu[None, :, :] * (1e-3 + c) + qvar
-        for _ in range(KE):
-            z = jnp.exp(-jnp.abs(z) * 0.999)   # stays in (0, 1]
-        return jnp.sum(z) * 1e-30
-
-    def pure_fma(x0, c):                  # KF dependent 3-flop steps
-        z = mu[None, :, :] * (1.0 + c) + qvar
-        for _ in range(KF):
-            z = z - 1e-9 * z * z
-        return jnp.sum(z) * 1e-30
-
-    t_exp = timed(pure_exp, Xd, repeats)
-    raw_exp = timed.last_totals
-    t_fma = timed(pure_fma, Xd, repeats)
-    raw_fma = timed.last_totals
-    # exp chain cost per step ~ 1 exp + 2 cheap vector ops; report the
-    # conservative (pure-exp-attributed) rate
-    exp_rate = KE * elems / t_exp
-    flop_rate = 3.0 * KF * elems / t_fma
+    t_e1 = timed(ctrl_exp(KE), Xd, repeats)
+    t_e2 = timed(ctrl_exp(2 * KE), Xd, repeats)
+    t_f1 = timed(ctrl_fma(KF), Xd, repeats)
+    t_f2 = timed(ctrl_fma(2 * KF), Xd, repeats)
+    exp_rate = KE * elems / max(t_e2 - t_e1, 1e-9)
+    flop_rate = 3.0 * KF * elems / max(t_f2 - t_f1, 1e-9)
     T_tr = float(chain_c.get("transcendentals", 0.0))
     F_fl = float(chain_c.get("flops", 0.0))
-    predicted = T_tr / exp_rate + F_fl / flop_rate
+    # The exp control gives a clean, depth-linear rate (~185 G/s on v5e,
+    # ~8 cycles/exp incl. the abs+mul riding along).  The fma control is
+    # diagnostic only: past ~256 unrolled dependent steps XLA fragments
+    # the fusion and the arm goes HBM-bound (measured 16x jump for 2x
+    # depth), so its slope under-states the VPU — do NOT build the bound
+    # from it.  The serial-chain transc floor is itself conservative: the
+    # real chain's independent ops pipeline (ILP), so beating the floor
+    # means no demonstrable headroom for a hand-written kernel.
+    pred_transc = T_tr / exp_rate
     add("quad_chain_attribution", t, bound=(
         f"VPU: XLA counts {T_tr / elems:.1f} transc + {F_fl / elems:.1f} "
-        f"flops per quad element; measured ceilings exp {exp_rate / 1e9:.1f}"
-        f" G/s, fma {flop_rate / 1e12:.2f} TFLOP/s; predicted "
-        f"{predicted * 1e6:.0f} us vs measured {t * 1e6:.0f} us -> "
-        f"headroom x{t / max(predicted, 1e-12):.2f}; raw exp totals "
-        f"{raw_exp[0] * 1e3:.1f}/{raw_exp[1] * 1e3:.1f} ms, fma "
-        f"{raw_fma[0] * 1e3:.1f}/{raw_fma[1] * 1e3:.1f} ms"))
+        f"flops per quad element; depth-sloped exp ceiling "
+        f"{exp_rate / 1e9:.1f} G/s -> serial transc floor "
+        f"{pred_transc * 1e6:.0f} us vs measured {t * 1e6:.0f} us "
+        f"(chain runs x{pred_transc / max(t, 1e-12):.2f} the serial rate "
+        f"via ILP; headroom not demonstrable); fma arm diagnostic "
+        f"{flop_rate / 1e12:.2f} TFLOP/s (fragmenting); depth pairs exp "
+        f"{t_e1 * 1e6:.1f}/{t_e2 * 1e6:.1f} us, fma "
+        f"{t_f1 * 1e6:.1f}/{t_f2 * 1e6:.1f} us per iter"))
 
     # 5. full ELBO forward
     t = timed(lambda x0, c: Mm.elbo(spec, params, Xd + c * 0, Yd)[0] * 1e-30,
