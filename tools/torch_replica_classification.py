@@ -1,0 +1,369 @@
+"""Faithful eager-torch replica of the classification protocol.
+
+End-to-end cross-check for the classification training path (the last
+surface with only unit/analytic checks): runs the reference's algorithm
+— Bernoulli quadrature ELL through a Gauss-CDF link
+(/root/reference/code/dsp/likelihoods/Bernoulli.py:50-95, BCELoss of the
+linked probability under Gauss-Hermite quadrature) and the Categorical
+MC ELL (/root/reference/code/dsp/likelihoods/MulticlassCategorical.py:
+51-105) — in eager fp64 plain torch on exactly the synthetic protocol of
+benchmarks/classification_protocol.py: same np.RandomState(0) corpus,
+same k-means++ inducing init, identical flow inits (SAL_InvBCL /
+BCL_AL under the sigmoid_ref Box-Cox constraint), the two-phase
+kernel-hold schedule (lr 0 on kernel hyperparameters for the first 2000
+epochs, torch `add_param_group` moment semantics at the phase switch),
+global-norm gradient clipping at 100, Adam lr 0.01.
+
+Predictive probabilities are integrated with the CORRECT quadrature
+width sqrt(cov) — matching our framework.  The reference's own
+`Bernoulli.marginal_moments` (Bernoulli.py:141-142) constructs the
+quadrature distribution with `gauss_cov.std()` — the SCALAR standard
+deviation of the covariance tensor across the batch, not the per-point
+sqrt — so its non-identity-flow predictive path integrates Phi(G(f))
+under a Gaussian of the wrong (uniform) width.  `--ref_predictive_bug`
+metrics are additionally reported for the binary cell to quantify that
+latent defect; the training path (expected_log_prob, Bernoulli.py:79:
+`gauss_cov.sqrt()`) is correct in the reference and replicated as-is.
+
+Run:
+  python tools/torch_replica_classification.py --task binary --epochs 15000
+  python tools/torch_replica_classification.py --task categorical --epochs 15000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+import torch
+import torch.nn as nn
+from torch.nn.functional import softplus
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from torch_replica import (  # noqa: E402
+    AffineFlow,
+    BoxCoxFlow,
+    CompositeFlow,
+    InvBoxCoxFlow,
+    SQRT_PI,
+    SinhArcsinhFlow,
+    inv_softplus,
+    psd_safe_cholesky,
+)
+
+torch.set_default_dtype(torch.float64)
+
+
+class ArcsinhFlow(nn.Module):
+    """fk = a + b*arcsinh((f0-c)/d), flow.py:495-540 (set_restrictions
+    False inside the BCL_AL chain, flows.py:194-214)."""
+
+    def __init__(self, init_a, init_b, init_c, init_d):
+        super().__init__()
+        self.a = nn.Parameter(torch.tensor(float(init_a)))
+        self.b = nn.Parameter(torch.tensor(float(init_b)))
+        self.c = nn.Parameter(torch.tensor(float(init_c)))
+        self.d = nn.Parameter(torch.tensor(float(init_d)))
+
+    def forward(self, f0, X=None):
+        return self.a + self.b * torch.asinh((f0 - self.c) / self.d)
+
+
+def sal_invbcl_flow():
+    """build_chain('SAL_InvBCL', 1): SAL(1) + InverseBoxCoxL(1) with the
+    sigmoid_ref lambda constraint (flows.py:71-109,167-189)."""
+    return CompositeFlow([
+        SinhArcsinhFlow(0.0, 1.0, False),
+        AffineFlow(1.0, 0.0, False),
+        InvBoxCoxFlow(5.0, False, constraint="sigmoid_ref"),
+        AffineFlow(1.0, 0.0, False),
+    ])
+
+
+def bcl_al_flow():
+    """build_chain('BCL_AL', 1): BoxCoxL(1, sigmoid_ref) + ArcSL(1).
+    ArcSL consumes one np.random.randn(4) with b,d shifted +1
+    (flows.py:194-214) — the caller seeds np.random first."""
+    a, b, c, d = np.random.randn(4)
+    return CompositeFlow([
+        BoxCoxFlow(5.0, False, constraint="sigmoid_ref"),
+        AffineFlow(1.0, 0.0, False),
+        ArcsinhFlow(a, b + 1.0, c, d + 1.0),
+        AffineFlow(1.0, 0.0, False),
+    ])
+
+
+class SparseClassTGP(nn.Module):
+    """Dy-output whitened sparse TGP with a classification likelihood.
+
+    Per-output (non-shared) Z / kernel / q(U) / flow, the framework's
+    TGPSpec defaults; compute path as sparse_MF_SP.py:274-431 batched
+    over the class axis."""
+
+    def __init__(self, Dy, Dx, M, N, init_Z, flows, quad_points,
+                 ls_init=2.0, ks_init=2.0, var_scale=1e-5):
+        super().__init__()
+        self.Dy, self.M, self.N = Dy, M, float(N)
+        Z0 = torch.tensor(init_Z).view(1, M, Dx).repeat(Dy, 1, 1)
+        self.Z = nn.Parameter(Z0)
+        self.raw_ls = nn.Parameter(
+            inv_softplus(ls_init) * torch.ones(Dy, 1, Dx))
+        self.raw_ks = nn.Parameter(inv_softplus(ks_init) * torch.ones(Dy))
+        self.q_mu = nn.Parameter(torch.zeros(Dy, M))
+        self.q_L = nn.Parameter(torch.eye(M).view(1, M, M).repeat(Dy, 1, 1)
+                                * math.sqrt(var_scale))
+        self.flows = nn.ModuleList(flows)
+        xq, wq = np.polynomial.hermite.hermgauss(quad_points)
+        self.register_buffer("quad_x", torch.tensor(xq))
+        self.register_buffer("quad_w", torch.tensor(wq))
+
+    def kernel_parameters(self):
+        return [self.raw_ls, self.raw_ks]
+
+    def gram(self, A, B):
+        ls = softplus(self.raw_ls)
+        a, b = A / ls, B / ls
+        d2 = ((a * a).sum(-1).unsqueeze(-1) + (b * b).sum(-1).unsqueeze(-2)
+              - 2.0 * a @ b.transpose(-1, -2))
+        return softplus(self.raw_ks).view(-1, 1, 1) * torch.exp(-0.5 * d2.clamp_min(0))
+
+    def marginal_qf(self, X):
+        """sparse_MF_SP.py:274-396 whitened diagonal, batched over Dy."""
+        MB = X.shape[0]
+        X3 = X.view(1, MB, -1).expand(self.Dy, MB, X.shape[1])
+        Kxx_diag = softplus(self.raw_ks).view(-1, 1).expand(self.Dy, MB)
+        Kzz = self.gram(self.Z, self.Z)
+        Kxz = self.gram(X3, self.Z)
+        Kzx = Kxz.transpose(1, 2)
+        L_zz, _ = psd_safe_cholesky(Kzz)
+
+        lower = torch.ones(self.M, self.M).tril(0)
+        L_q = self.q_L * lower
+        S_q = L_q @ L_q.transpose(1, 2)
+        m_q = self.q_mu.unsqueeze(-1)
+
+        sol_m = torch.linalg.solve_triangular(L_zz.transpose(1, 2), m_q,
+                                              upper=True)
+        mu_qf = (Kxz @ sol_m).squeeze(-1)                   # (Dy,MB)
+        sol = torch.cholesky_solve(Kzx, L_zz)
+        rhs = torch.linalg.solve_triangular(L_zz, Kzx, upper=False)
+        cov_qf = (Kxx_diag - (Kzx * sol).sum(1)
+                  + (rhs * (S_q @ rhs)).sum(1))             # (Dy,MB)
+        return mu_qf, cov_qf
+
+    def kld(self):
+        """sparse_MF_SP.py:398-431 whitened closed form, summed over Dy."""
+        lower = torch.ones(self.M, self.M).tril(0)
+        L_q = self.q_L * lower
+        dot_mean = (self.q_mu ** 2).sum()
+        log_det = torch.log(torch.diagonal(L_q, dim1=1, dim2=2) ** 2).sum()
+        trace = (L_q ** 2).sum()
+        return 0.5 * (-log_det + dot_mean + trace - float(self.Dy * self.M))
+
+    def warp(self, f):
+        """Apply the per-class flow along the class axis of (..., Dy, MB)."""
+        out = [self.flows[d](f[..., d, :]) for d in range(self.Dy)]
+        return torch.stack(out, dim=-2)
+
+    ## -------------------- Bernoulli (Dy == 1) -------------------------- ##
+
+    def bernoulli_ell(self, Y, mu_qf, cov_qf):
+        """Bernoulli.py:50-95: quadrature of -BCE(Phi(G(f0)), y) with the
+        correct per-point width sqrt(cov) (Bernoulli.py:77-79, including
+        the negative-covariance clamp)."""
+        cov = cov_qf.clamp_min(0.0)
+        f = (math.sqrt(2.0) * torch.sqrt(cov).unsqueeze(0)
+             * self.quad_x.view(-1, 1, 1) + mu_qf.unsqueeze(0))  # (S,1,MB)
+        fk = self.warp(f)
+        yk = torch.special.ndtr(fk)                          # Phi link
+        Yt = Y.t().unsqueeze(0)
+        bce = nn.functional.binary_cross_entropy(
+            yk.clamp(0.0, 1.0), Yt.expand_as(yk), reduction="none")
+        ell = -(self.quad_w.view(-1, 1, 1) * bce).sum(0) / SQRT_PI
+        return ell.sum()
+
+    @torch.no_grad()
+    def bernoulli_probs(self, X, ref_bug=False):
+        """p(y=1|x) by quadrature of Phi(G(f)) with [0,1] clamping
+        (Bernoulli.py:140-157).  ref_bug=True reproduces the reference's
+        literal `gauss_cov.std()` scalar quadrature width
+        (Bernoulli.py:141-142) instead of the correct per-point sqrt."""
+        self.eval()
+        mu, cov = self.marginal_qf(X)
+        if ref_bug:
+            std = cov.std().expand_as(cov)
+        else:
+            std = torch.sqrt(cov.clamp_min(0.0))
+        f = (math.sqrt(2.0) * std.unsqueeze(0)
+             * self.quad_x.view(-1, 1, 1) + mu.unsqueeze(0))
+        p = (self.quad_w.view(-1, 1, 1) * torch.special.ndtr(self.warp(f))
+             ).sum(0) / SQRT_PI
+        self.train()
+        return p.clamp(0.0, 1.0).squeeze(0)                  # (MB,)
+
+    ## -------------------- Categorical (Dy == C) ------------------------ ##
+
+    def categorical_ell(self, Y, mu_qf, cov_qf, S):
+        """MulticlassCategorical.py:51-105: S reparameterized draws from
+        q(f), per-class warps, mean-over-samples softmax log-likelihood."""
+        C, MB = mu_qf.shape
+        eps = torch.randn(S, C, MB)
+        f0 = mu_qf.unsqueeze(0) + torch.sqrt(cov_qf.clamp_min(0.0)).unsqueeze(0) * eps
+        fk = self.warp(f0)                                   # (S,C,MB)
+        logits = fk.permute(0, 2, 1)                         # (S,MB,C)
+        logp = torch.log_softmax(logits, dim=-1)
+        idx = Y.view(1, MB, 1).long().expand(S, MB, 1)
+        ll = torch.gather(logp, -1, idx)[..., 0]             # (S,MB)
+        return ll.mean(0).sum()
+
+    @torch.no_grad()
+    def categorical_probs(self, X, S):
+        """MulticlassCategorical.py:109-151: MC softmax mean."""
+        self.eval()
+        mu, cov = self.marginal_qf(X)
+        C, MB = mu.shape
+        eps = torch.randn(S, C, MB)
+        f0 = mu.unsqueeze(0) + torch.sqrt(cov.clamp_min(0.0)).unsqueeze(0) * eps
+        logits = self.warp(f0).permute(0, 2, 1)
+        self.train()
+        return torch.softmax(logits, dim=-1).mean(0)         # (MB,C)
+
+
+def calibration_measures(probs, labels, bins=15):
+    """Same 15-bin formulation as train/metrics.py::calibration_measures
+    (the native replacement for the reference's external
+    pytorchlib.compute_calibration_measures)."""
+    probs = np.asarray(probs)
+    labels = np.asarray(labels).astype(int)
+    N = probs.shape[0]
+    conf = probs.max(axis=1)
+    pred = probs.argmax(axis=1)
+    acc = (pred == labels).astype(np.float64)
+    edges = np.linspace(0.0, 1.0, bins + 1)
+    ece, mce = 0.0, 0.0
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sel = (conf > lo) & (conf <= hi)
+        if not sel.any():
+            continue
+        gap = abs(acc[sel].mean() - conf[sel].mean())
+        ece += sel.sum() / N * gap
+        mce = max(mce, gap)
+    nll = -np.mean(np.log(np.clip(probs[np.arange(N), labels], 1e-12, 1.0)))
+    return {"acc": float(acc.mean()), "nll": float(nll),
+            "ECE": float(ece), "MCE": float(mce)}
+
+
+def run(args):
+    from sklearn.cluster import KMeans
+
+    torch.manual_seed(args.torch_seed)
+    # corpus generation identical to benchmarks/classification_protocol.py
+    rng = np.random.RandomState(0)
+    N, Dx = 1200, 4
+    X = rng.randn(N, Dx)
+    if args.task == "binary":
+        logits = np.sin(2 * X[:, 0]) + X[:, 1] * X[:, 2]
+        y = (logits + 0.4 * rng.randn(N) > 0).astype(np.float64).reshape(-1, 1)
+        C, Dy = 2, 1
+        quad = 50
+        np.random.seed(0)
+        flows = [sal_invbcl_flow()]
+    else:
+        W = rng.randn(Dx, 3)
+        scores = np.tanh(X @ W) + 0.3 * rng.randn(N, 3)
+        y = np.argmax(scores, axis=1).astype(np.float64).reshape(-1, 1)
+        C, Dy = 3, 3
+        quad = 32
+        np.random.seed(0)
+        inits = bcl_al_flow().state_dict()
+        flows = []
+        for _ in range(3):  # identical per-class inits (init_tgp_params
+            fl = bcl_al_flow()  # stacks the same flow_inits on every output)
+            fl.load_state_dict(inits)
+            flows.append(fl)
+
+    n_tr = int(0.9 * N)
+    Xtr, ytr = torch.tensor(X[:n_tr]), torch.tensor(y[:n_tr])
+    Xte, yte = torch.tensor(X[n_tr:]), torch.tensor(y[n_tr:])
+
+    km = KMeans(n_clusters=50, init="k-means++", n_init=10,
+                random_state=0).fit(X[:n_tr])
+    model = SparseClassTGP(Dy, Dx, 50, n_tr, km.cluster_centers_, flows, quad)
+
+    # two-phase kernel-hold schedule ([[0.0,'kernel']], None): phase 1
+    # excludes the kernel hyperparameters entirely (lr=0 -> inactive in
+    # train/group_adam.py); phase 2 re-activates them with fresh moments —
+    # torch add_param_group semantics, which the framework's grouped Adam
+    # reproduces (trainer.py:577-624)
+    kern = model.kernel_parameters()
+    kern_ids = {id(p) for p in kern}
+    rest = [p for p in model.parameters() if id(p) not in kern_ids]
+    opt = torch.optim.Adam([{"params": rest, "lr": 0.01}])
+    hold = min(2000, args.epochs // 3)
+
+    out = open(args.out, "a")
+    t0 = time.time()
+    for ep in range(args.epochs):
+        if ep == hold:
+            opt.add_param_group({"params": kern, "lr": 0.01})
+        mu, cov = model.marginal_qf(Xtr)
+        if args.task == "binary":
+            ell = model.bernoulli_ell(ytr, mu, cov)
+        else:
+            ell = model.categorical_ell(ytr, mu, cov, quad)
+        elbo = ell * (model.N / Xtr.shape[0]) - model.kld()
+        loss = -elbo
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 100.0)
+        opt.step()
+        if (ep + 1) % args.log_each == 0:
+            dt = time.time() - t0
+            rec = {"task": args.task, "epoch": ep + 1,
+                   "elbo": float(elbo.detach()),
+                   "steps_per_sec": (ep + 1) / dt, "wall_s": dt}
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            print(rec, flush=True)
+    train_s = time.time() - t0
+
+    if args.task == "binary":
+        p1 = model.bernoulli_probs(Xte).numpy()
+        probs = np.stack([1.0 - p1, p1], axis=1)
+    else:
+        probs = model.categorical_probs(Xte, quad).numpy()
+    m = calibration_measures(probs, yte.numpy().reshape(-1))
+    rec = {"task": args.task, "classes": C, "epochs": args.epochs,
+           "final": True, "test_acc": round(m["acc"], 4),
+           "test_nll": round(m["nll"], 4), "ECE": round(m["ECE"], 4),
+           "train_wall_s": round(train_s, 1),
+           "torch_seed": args.torch_seed}
+    out.write(json.dumps(rec) + "\n")
+    print(rec, flush=True)
+    if args.task == "binary":
+        p1b = model.bernoulli_probs(Xte, ref_bug=True).numpy()
+        mb = calibration_measures(np.stack([1.0 - p1b, p1b], 1),
+                                  yte.numpy().reshape(-1))
+        recb = dict(rec, test_acc=round(mb["acc"], 4),
+                    test_nll=round(mb["nll"], 4), ECE=round(mb["ECE"], 4),
+                    ref_predictive_bug=True)
+        out.write(json.dumps(recb) + "\n")
+        print(recb, flush=True)
+    out.close()
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", required=True, choices=["binary", "categorical"])
+    p.add_argument("--epochs", type=int, default=15000)
+    p.add_argument("--log_each", type=int, default=1000)
+    p.add_argument("--torch_seed", type=int, default=0)
+    p.add_argument("--out", default="results_torch_replica.jsonl")
+    run(p.parse_args())
