@@ -51,6 +51,15 @@ def bernoulli_moments(spec: LikelihoodSpec, params, mu, var, warp,
     Identity flow: exact eq. 3.77/3.80 Phi(mu / sqrt(1 + var))
     (reference: Bernoulli.py:136-138); otherwise quadrature of Phi(G(f))
     with [0,1] clamping (Bernoulli.py:140-155).
+
+    Deliberate deviation: the reference constructs the quadrature
+    distribution with `gauss_cov.std()` (Bernoulli.py:120,141-142) — the
+    SCALAR standard deviation of the covariance tensor across the batch,
+    not the per-point sqrt — so its non-identity-flow predictive
+    integrates under a Gaussian of a uniform wrong width.  We integrate
+    with the correct per-point sqrt(var) (the same width its own training
+    ELL uses, Bernoulli.py:79); tools/torch_replica_classification.py
+    measures both variants against the full protocol.
     Returns (MB,) probabilities of class 1.
     """
     if identity_flow:
