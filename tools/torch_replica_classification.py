@@ -152,9 +152,10 @@ class SparseClassTGP(nn.Module):
         sol_m = torch.linalg.solve_triangular(L_zz.transpose(1, 2), m_q,
                                               upper=True)
         mu_qf = (Kxz @ sol_m).squeeze(-1)                   # (Dy,MB)
-        sol = torch.cholesky_solve(Kzx, L_zz)
         rhs = torch.linalg.solve_triangular(L_zz, Kzx, upper=False)
-        cov_qf = (Kxx_diag - (Kzx * sol).sum(1)
+        # Kzx' Kzz^{-1} Kzx == rhs' rhs — one triangular solve instead of
+        # torch_replica.py's cholesky_solve restatement of the same quantity
+        cov_qf = (Kxx_diag - (rhs * rhs).sum(1)
                   + (rhs * (S_q @ rhs)).sum(1))             # (Dy,MB)
         return mu_qf, cov_qf
 
@@ -210,11 +211,13 @@ class SparseClassTGP(nn.Module):
 
     ## -------------------- Categorical (Dy == C) ------------------------ ##
 
-    def categorical_ell(self, Y, mu_qf, cov_qf, S):
+    def categorical_ell(self, Y, mu_qf, cov_qf, S, eps=None):
         """MulticlassCategorical.py:51-105: S reparameterized draws from
-        q(f), per-class warps, mean-over-samples softmax log-likelihood."""
+        q(f), per-class warps, mean-over-samples softmax log-likelihood.
+        eps overrides the MC draws (the shared-draw equivalence test)."""
         C, MB = mu_qf.shape
-        eps = torch.randn(S, C, MB)
+        if eps is None:
+            eps = torch.randn(S, C, MB)
         f0 = mu_qf.unsqueeze(0) + torch.sqrt(cov_qf.clamp_min(0.0)).unsqueeze(0) * eps
         fk = self.warp(f0)                                   # (S,C,MB)
         logits = fk.permute(0, 2, 1)                         # (S,MB,C)
@@ -237,27 +240,19 @@ class SparseClassTGP(nn.Module):
 
 
 def calibration_measures(probs, labels, bins=15):
-    """Same 15-bin formulation as train/metrics.py::calibration_measures
-    (the native replacement for the reference's external
-    pytorchlib.compute_calibration_measures)."""
+    """The framework's own 15-bin ECE/MCE/NLL (train/metrics.py) plus
+    accuracy — reusing the exact metric the cross-check compares against
+    so the two sides cannot silently desynchronize."""
+    from tgp.pytorch_tpu.train.metrics import (
+        calibration_measures as _framework_cm,
+    )
+
     probs = np.asarray(probs)
     labels = np.asarray(labels).astype(int)
-    N = probs.shape[0]
-    conf = probs.max(axis=1)
-    pred = probs.argmax(axis=1)
-    acc = (pred == labels).astype(np.float64)
-    edges = np.linspace(0.0, 1.0, bins + 1)
-    ece, mce = 0.0, 0.0
-    for lo, hi in zip(edges[:-1], edges[1:]):
-        sel = (conf > lo) & (conf <= hi)
-        if not sel.any():
-            continue
-        gap = abs(acc[sel].mean() - conf[sel].mean())
-        ece += sel.sum() / N * gap
-        mce = max(mce, gap)
-    nll = -np.mean(np.log(np.clip(probs[np.arange(N), labels], 1e-12, 1.0)))
-    return {"acc": float(acc.mean()), "nll": float(nll),
-            "ECE": float(ece), "MCE": float(mce)}
+    m = _framework_cm(probs, labels, bins)
+    acc = float((probs.argmax(axis=1) == labels).mean())
+    return {"acc": acc, "nll": float(m["NLL"]),
+            "ECE": float(m["ECE"]), "MCE": float(m["MCE"])}
 
 
 def run(args):
@@ -320,7 +315,11 @@ def run(args):
             ell = model.categorical_ell(ytr, mu, cov, quad)
         elbo = ell * (model.N / Xtr.shape[0]) - model.kld()
         loss = -elbo
-        opt.zero_grad()
+        # model-wide zero_grad, NOT opt.zero_grad(): during the hold phase
+        # the kernel hyperparameters are outside the optimizer, and stale
+        # accumulated grads would inflate the global clip norm — the
+        # framework clips a fresh full-pytree gradient every step
+        model.zero_grad()
         loss.backward()
         torch.nn.utils.clip_grad_norm_(model.parameters(), 100.0)
         opt.step()
