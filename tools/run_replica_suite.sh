@@ -15,4 +15,13 @@ $PY tools/torch_replica.py --model ID_TGP --dataset power --split 1 --num_induci
 # ID_TGP boston (PE + BA rows of the README table)
 $PY tools/torch_replica.py --model ID_TGP --dataset boston --split 1 --num_inducing 5   --epochs 15000 --out $OUT
 $PY tools/torch_replica.py --model ID_TGP --dataset boston --split 1 --num_inducing 100 --epochs 15000 --out $OUT
+# Step-arch and chain-arch cells (identity-fit init / Box-Cox families)
+$PY tools/torch_replica.py --model TGP --dataset boston   --split 1 --num_inducing 100 --epochs 15000 --out $OUT
+$PY tools/torch_replica.py --model TGP --dataset concrete --split 1 --num_inducing 100 --epochs 15000 --out $OUT
+$PY tools/torch_replica.py --model TGP --dataset kin8nm   --split 1 --num_inducing 100 --epochs 15000 --out $OUT
+$PY tools/torch_replica.py --model TGP --dataset wine_white --split 1 --num_inducing 100 --epochs 15000 --out $OUT
+# classification training path (synthetic protocol of
+# benchmarks/classification_protocol.py)
+$PY tools/torch_replica_classification.py --task binary      --epochs 15000 --out $OUT
+$PY tools/torch_replica_classification.py --task categorical --epochs 15000 --out $OUT
 echo "REPLICA SUITE DONE"
