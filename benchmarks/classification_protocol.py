@@ -69,13 +69,18 @@ def run(kind: str, epochs: int):
     tr = Trainer(spec, params, loaders, Y_std=np.ones(1), S_test=50)
     hold = min(2000, epochs // 3)
     sched = ([hold / epochs, 1 - hold / epochs], [[[0.0, "kernel"]], None])
+    import time
+    t0 = time.time()
     tr.train(epochs, 0.01, "adam", optimisation_schedule=sched, verbose_each=0,
              clip_norm=100.0)
+    train_s = time.time() - t0
     m = tr.compute_metrics()["test"]
     return {"task": kind, "classes": C, "epochs": epochs,
             "test_acc": round(float(m["acc"]), 4),
             "test_nll": round(float(-m["logL"][0]), 4),
-            "ECE": round(m["calibration"]["ECE"], 4)}
+            "ECE": round(m["calibration"]["ECE"], 4),
+            "train_s": round(train_s, 2),
+            "steps_per_sec": round(epochs / train_s, 1)}
 
 
 def main():

@@ -69,7 +69,6 @@ def timed(fn, x, repeats, warmup=2):
             best = min(best, time.perf_counter() - t0)
         totals.append(best)
     t = max((totals[1] - totals[0]) / (3 * repeats), 1e-9)
-    timed.last_totals = (totals[0], totals[1])   # raw evidence for callers
     return t
 
 
@@ -230,29 +229,43 @@ def run(cfg_name, N, M, Dy, Dx, quad, bf16, repeats):
     t_e2 = timed(ctrl_exp(2 * KE), Xd, repeats)
     t_f1 = timed(ctrl_fma(KF), Xd, repeats)
     t_f2 = timed(ctrl_fma(2 * KF), Xd, repeats)
-    exp_rate = KE * elems / max(t_e2 - t_e1, 1e-9)
-    flop_rate = 3.0 * KF * elems / max(t_f2 - t_f1, 1e-9)
-    T_tr = float(chain_c.get("transcendentals", 0.0))
-    F_fl = float(chain_c.get("flops", 0.0))
-    # The exp control gives a clean, depth-linear rate (~185 G/s on v5e,
-    # ~8 cycles/exp incl. the abs+mul riding along).  The fma control is
-    # diagnostic only: past ~256 unrolled dependent steps XLA fragments
-    # the fusion and the arm goes HBM-bound (measured 16x jump for 2x
-    # depth), so its slope under-states the VPU — do NOT build the bound
-    # from it.  The serial-chain transc floor is itself conservative: the
-    # real chain's independent ops pipeline (ILP), so beating the floor
-    # means no demonstrable headroom for a hand-written kernel.
-    pred_transc = T_tr / exp_rate
-    add("quad_chain_attribution", t, bound=(
-        f"VPU: XLA counts {T_tr / elems:.1f} transc + {F_fl / elems:.1f} "
-        f"flops per quad element; depth-sloped exp ceiling "
-        f"{exp_rate / 1e9:.1f} G/s -> serial transc floor "
-        f"{pred_transc * 1e6:.0f} us vs measured {t * 1e6:.0f} us "
-        f"(chain runs x{pred_transc / max(t, 1e-12):.2f} the serial rate "
-        f"via ILP; headroom not demonstrable); fma arm diagnostic "
-        f"{flop_rate / 1e12:.2f} TFLOP/s (fragmenting); depth pairs exp "
-        f"{t_e1 * 1e6:.1f}/{t_e2 * 1e6:.1f} us, fma "
-        f"{t_f1 * 1e6:.1f}/{t_f2 * 1e6:.1f} us per iter"))
+    # a non-positive depth difference is an invalid measurement (tunnel
+    # noise / constant folding), not an infinite ceiling — flag it rather
+    # than clamping into an absurd exp_rate (the CLAUDE.md failure mode)
+    if t_e2 - t_e1 <= 0 or t_f2 - t_f1 <= 0:
+        add("quad_chain_attribution", t, bound=(
+            f"INVALID: non-positive depth difference (exp "
+            f"{t_e1 * 1e6:.1f}/{t_e2 * 1e6:.1f} us, fma "
+            f"{t_f1 * 1e6:.1f}/{t_f2 * 1e6:.1f} us) — rerun on a quiet "
+            f"chip; no bound claimed"))
+        t_e2 = t_e1 = t_f2 = t_f1 = None
+    if t_e1 is not None:
+        exp_rate = KE * elems / (t_e2 - t_e1)
+        flop_rate = 3.0 * KF * elems / (t_f2 - t_f1)
+        T_tr = float(chain_c.get("transcendentals", 0.0))
+        F_fl = float(chain_c.get("flops", 0.0))
+        # The exp control gives a clean, depth-linear rate (~185 G/s on
+        # v5e, ~8 cycles/exp incl. the abs+mul riding along).  The fma
+        # control is diagnostic only: past ~256 unrolled dependent steps
+        # XLA fragments the fusion and the arm goes HBM-bound (measured
+        # 16x jump for 2x depth), so its slope under-states the VPU — do
+        # NOT build the bound from it.  The serial-chain transc floor is
+        # itself conservative: the real chain's independent ops pipeline
+        # (ILP), so beating the floor means no demonstrable headroom for
+        # a hand-written kernel.
+        pred_transc = T_tr / exp_rate
+        add("quad_chain_attribution", t, bound=(
+            f"VPU: XLA counts {T_tr / elems:.1f} transc + "
+            f"{F_fl / elems:.1f} "
+            f"flops per quad element; depth-sloped exp ceiling "
+            f"{exp_rate / 1e9:.1f} G/s -> serial transc floor "
+            f"{pred_transc * 1e6:.0f} us vs measured {t * 1e6:.0f} us "
+            f"(chain runs x{pred_transc / max(t, 1e-12):.2f} the serial "
+            f"rate via ILP; headroom not demonstrable); fma arm "
+            f"diagnostic "
+            f"{flop_rate / 1e12:.2f} TFLOP/s (fragmenting); depth pairs "
+            f"exp {t_e1 * 1e6:.1f}/{t_e2 * 1e6:.1f} us, fma "
+            f"{t_f1 * 1e6:.1f}/{t_f2 * 1e6:.1f} us per iter"))
 
     # 5. full ELBO forward
     t = timed(lambda x0, c: Mm.elbo(spec, params, Xd + c * 0, Yd)[0] * 1e-30,

@@ -129,6 +129,14 @@ class TGPSpec:
     #: see PARITY.md mixed-precision section before enabling.
     solve_precision: str = "highest"
 
+    def __post_init__(self):
+        # fail at construction, not as a KeyError mid-trace in marginal_qf
+        # (only the CLIs guard this via argparse choices)
+        if self.solve_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"solve_precision must be 'highest'|'high'|'default', "
+                f"got {self.solve_precision!r}")
+
     @property
     def has_flow(self) -> bool:
         if self.flow_per_output is not None:

@@ -180,12 +180,37 @@ def psum_across_processes(mesh, vec):
     per = dp // nproc
     local = np.zeros((per,) + vec.shape, vec.dtype)
     local[0] = vec
-    sh = NamedSharding(mesh, P("dp", *([None] * vec.ndim)))
-    garr = jax.make_array_from_process_local_data(
-        sh, local, (dp,) + vec.shape)
-    out = jax.jit(lambda a: jnp.sum(a, axis=0),
-                  out_shardings=NamedSharding(mesh, P()))(garr)
-    return np.asarray(out.addressable_data(0), np.float64)
+    # enable_x64 so the accumulators actually cross the wire in f64 —
+    # without it device_put canonicalizes float64 -> float32 and large
+    # per-process sums (airline-scale ElogL, calibration conf sums) lose
+    # ~1e-7 relative before the reduce
+    with jax.enable_x64(True):
+        sh = NamedSharding(mesh, P("dp", *([None] * vec.ndim)))
+        garr = jax.make_array_from_process_local_data(
+            sh, local, (dp,) + vec.shape)
+        out = _psum_reduce(garr, mesh)
+        return np.asarray(out.addressable_data(0), np.float64)
+
+
+# cached jitted reduction: a fresh jax.jit(lambda ...) per call carries a
+# fresh compile cache, so every compute_metrics()/validate_each boundary
+# would recompile the identical sum (host-side tracing serializes on the
+# single-CPU-core hosts this tier targets)
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _psum_reduce_for(mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(lambda a: jnp.sum(a, axis=0),
+                   out_shardings=NamedSharding(mesh, P()))
+
+
+def _psum_reduce(garr, mesh):
+    return _psum_reduce_for(mesh)(garr)
 
 
 def replicate_global(mesh, tree):

@@ -698,10 +698,12 @@ class Trainer:
             calib = None
             if is_class:
                 # fixed length even for a row-less shard: every process must
-                # contribute the same vector shape to the psum
+                # contribute the same vector shape to the psum (the empty
+                # call keeps the length coupled to metrics.py's bin count)
                 calib = (calibration_accumulators(
                     np.concatenate(all_probs), np.concatenate(all_labels))
-                    if all_probs else np.zeros(3 * 15 + 3))
+                    if all_probs else calibration_accumulators(
+                        np.zeros((0, 2)), np.zeros(0, dtype=int)))
             return {"ElogL": ElogL, "rmse": rmse, "coverage": coverage,
                     "correct": correct, "tot": float(tot), "calib": calib}
         out = {"logL": ElogL / tot}
@@ -753,7 +755,11 @@ class Trainer:
         if self.test_loader is not None:
             loaders.append(("test", self.test_loader))
         res = {}
-        with jax.default_device(jax.local_devices()[0]):
+        # honour eval_device='cpu' like the single-process path (eval
+        # programs are process-local, so the placement choice is free)
+        dev = (jax.devices("cpu")[0] if self.eval_device == "cpu"
+               else jax.local_devices()[0])
+        with jax.default_device(dev):
             for name, loader in loaders:
                 acc = self._metrics_for_loader(loader, shard=(p, nproc),
                                                params=params_host)

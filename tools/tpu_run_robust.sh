@@ -23,6 +23,10 @@ for attempt in 1 2 3; do
   wait $pid; rc=$?
   echo "EXIT rc=$rc attempt=$attempt" >> "$log"
   [ $rc -eq 0 ] && exit 0
-  [ "$lines" -gt 0 ] && exit $rc   # real failure with output: don't loop
+  # re-read AFTER exit: the in-loop value is up to 30s stale (or unset if
+  # the job died in under a second), and a real failure that only prints
+  # its traceback at death must surface its rc, not loop as a "wedge"
+  lines=$(grep -vc "xla_bridge\|^$\|^EXIT rc=" "$log")
+  [ "$lines" -gt 0 ] && exit $rc
 done
 exit 1
