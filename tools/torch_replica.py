@@ -567,6 +567,8 @@ def run(args):
         # exp_config.py:31-56: power = SAL x2; boston = StepTanhL 10x2
         if args.dataset == "power":
             flow = sal_flow(2)
+        elif args.dataset == "wine_red":
+            flow = sal_flow(3)           # SAL 3 (exp_config.py:57)
         elif args.dataset == "wine_white":
             flow = sal_bcl_flow(10)      # SAL_BCL 10 (exp_config.py:58)
         elif args.dataset == "kin8nm":
