@@ -306,17 +306,23 @@ def identity():
     return [("identity", {})]
 
 
-def random_flow(name: str):
+def random_flow(name: str, output_range=None):
     """Randomly-initialised single flows for gaussianization experiments.
 
     reference: code/dsp/flows.py:494-573
     (`get_flow_combinations_randomly_initalised`).  Accepts a name or a
     (nested) list of names, returning a flat spec list.
+
+    `output_range=(y_min, y_max)` is required for the `'step_flow'` branch
+    (ladder init over the data range).  The reference's own branch reads
+    `y_train` which is NOT in that function's scope (flows.py:552-553 —
+    a latent NameError; the committed entrypoints never reach it), so the
+    range is taken explicitly here instead.
     """
     if isinstance(name, (list, tuple)):
         out = []
         for n in name:
-            out.extend(random_flow(n))
+            out.extend(random_flow(n, output_range=output_range))
         return out
     if name == "affine":
         a, b = np.random.randn(2)
@@ -351,4 +357,14 @@ def random_flow(name: str):
     if name == "tukey_right":
         g, h = np.random.randn(2)
         return [("tukey_right", {"init_g": g, "init_h": h, "add_init_f0": False})]
+    if name == "step_flow":
+        # K=5 tanh-ladder over the data range (flows.py:551-561; the ladder
+        # construction itself is initializers.py:425-475).
+        if output_range is None:
+            raise ValueError("random_flow('step_flow') needs output_range="
+                             "(y_min, y_max) — the reference reads y_train "
+                             "out of scope here (flows.py:552)")
+        from .initializers import step_flow_ladder
+        return step_flow_ladder(K=5, output_range=tuple(output_range),
+                                smoothness_scale=0.01, remove_tails=False)
     raise ValueError(f"unknown random flow {name!r}")
