@@ -80,9 +80,11 @@ def load_airline(seed: int = 1, use_validation=None, data_dir: str | None = None
     return standard_normalize(X_tr, Y_tr, X_va, Y_va, X_te, Y_te)
 
 
-def load_year(seed: int = 1, use_validation=None, data_dir: str | None = None):
+def load_year(seed: int = 1, use_validation=None, data_dir: str | None = None,
+              n_train: int = 463715):
     """YearPredictionMSD with its prescribed 463715/51630 split
-    (reference: uci_datasets.py:137-171; target is the FIRST column)."""
+    (reference: uci_datasets.py:137-171; target is the FIRST column).
+    `n_train` exists only so small synthetic files can exercise the loader."""
     d = data_dir or os.path.join(_ROOT, "regression", "uci")
     path = _require(os.path.join(d, "YearPredictionMSD.txt"), "year",
                     "Download YearPredictionMSD.txt.zip from the UCI archive")
@@ -92,7 +94,7 @@ def load_year(seed: int = 1, use_validation=None, data_dir: str | None = None):
         import pandas as pd
         data = pd.read_csv(path, header=None).to_numpy(np.float64)
     X, Y = data[:, 1:], data[:, :1]
-    n_tr = 463715
+    n_tr = n_train
     X_tr, Y_tr, X_te, Y_te = X[:n_tr], Y[:n_tr], X[n_tr:], Y[n_tr:]
     X_va = Y_va = None
     if use_validation is not None:

@@ -220,7 +220,7 @@ def StepBoxCoxL(num_blocks, num_steps, **kwargs):
     for _ in range(num_blocks):
         steps = []
         for _ in range(num_steps):
-            lam = float(np.random.randn(1))
+            lam = float(np.random.randn(1)[0])
             if not init_random:
                 lam += 5.0
             steps.append(("boxcox", {"init_lam": lam, "add_init_f0": addf0,
@@ -236,7 +236,7 @@ def StepInverseBoxCoxL(num_blocks, num_steps, **kwargs):
     for _ in range(num_blocks):
         steps = []
         for _ in range(num_steps):
-            lam = float(np.random.randn(1))
+            lam = float(np.random.randn(1)[0])
             if not init_random:
                 lam += 5.0
             steps.append(("inverseboxcox", {"init_lam": lam, "add_init_f0": addf0,
@@ -253,10 +253,10 @@ def StepAllL(num_blocks, **kwargs):
     blocks = []
     for _ in range(num_blocks):
         steps = []
-        lam = float(np.random.randn(1)) + (0.0 if init_random else 5.0)
+        lam = float(np.random.randn(1)[0]) + (0.0 if init_random else 5.0)
         steps.append(("inverseboxcox", {"init_lam": lam, "add_init_f0": addf0,
                                         "constraint": constraint}))
-        lam = float(np.random.randn(1)) + (0.0 if init_random else 5.0)
+        lam = float(np.random.randn(1)[0]) + (0.0 if init_random else 5.0)
         steps.append(("boxcox", {"init_lam": lam, "add_init_f0": addf0,
                                  "constraint": constraint}))
         e1, e2, e3, e4 = np.random.randn(4)
