@@ -20,6 +20,16 @@ def test_checkpoint_roundtrip(tmp_path):
     assert extra["lr"] == 0.01 and step == 10
 
 
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    from tgp.pytorch_tpu.train.checkpoint import wait_for_checkpoints
+    params = {"a": jnp.arange(6.0), "b": {"W": jnp.eye(2)}}
+    save_checkpoint(str(tmp_path), params, step=3, async_save=True)
+    wait_for_checkpoints()  # block until the background flush is durable
+    p, _, step, _ = load_checkpoint(str(tmp_path))
+    assert step == 3
+    np.testing.assert_array_equal(p["a"], np.arange(6.0))
+
+
 def test_checkpoint_preserves_custom_pytree_structure(tmp_path):
     from tgp.pytorch_tpu.train.group_adam import GroupAdamState, init_state
     params = {"a": jnp.arange(4.0), "b": {"W": jnp.eye(2)}}

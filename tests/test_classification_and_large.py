@@ -59,6 +59,19 @@ def test_calibration_measures_perfect_predictor():
     assert 0 <= c["ECE"] <= 1 and c["NLL"] > 0
 
 
+def test_coverage_and_rmse_helpers():
+    from tgp.pytorch_tpu.train.metrics import coverage_95, rmse
+
+    rng = np.random.RandomState(0)
+    samples = rng.randn(4000, 50)            # predictive samples ~ N(0,1)
+    Y = np.zeros(50)
+    assert coverage_95(samples, Y) == 1.0    # 0 is inside every 95% interval
+    assert coverage_95(samples, Y + 10.0) == 0.0
+    # Y_std rescaling matches the reference's un-normalised RMSE
+    # (trainers_regression.py:198-201)
+    assert np.isclose(rmse(np.ones(5), np.zeros(5), Y_std=2.0), 2.0)
+
+
 def test_movement_rss_preprocessing(tmp_path):
     d = tmp_path / "dataset"
     d.mkdir()
