@@ -304,6 +304,20 @@ def invbcl_flow(num_blocks):
     return CompositeFlow(flows)
 
 
+def sal_invbcl_flow(num_blocks):
+    """flows.py:71-109 build_chain('SAL_InvBCL', nb): per block SAL(1) +
+    InverseBoxCoxL(1) with the bounded sigmoid_ref lambda constraint
+    (raw init 5.0); all affines (1, 0) unrestricted.  The naval table
+    arch (exp_config.py:54)."""
+    flows = []
+    for _ in range(num_blocks):
+        flows.append(SinhArcsinhFlow(0.0, 1.0, False))
+        flows.append(AffineFlow(1.0, 0.0, False))
+        flows.append(InvBoxCoxFlow(5.0, False, constraint="sigmoid_ref"))
+        flows.append(AffineFlow(1.0, 0.0, False))
+    return CompositeFlow(flows)
+
+
 def stepinvbcl_flow(num_blocks, num_steps):
     """flows.py:391-422 StepInverseBoxCoxL with add_f0=True,
     init_random=False, constraint=None (exactly the battery's
@@ -573,12 +587,19 @@ def run(args):
             flow = sal_bcl_flow(10)      # SAL_BCL 10 (exp_config.py:58)
         elif args.dataset == "kin8nm":
             flow = invbcl_flow(1)        # InverseBoxCoxL 1 (exp_config.py:53)
-        elif args.dataset in ("boston", "concrete"):
-            # boston: StepTanhL 10x2 (exp_config.py:31-41); concrete:
-            # StepInverseBoxCoxL 5x2 (the battery's table arch — the
-            # reference's committed exp_utils.py cannot dispatch it)
-            gen = ((lambda: steptanhl_flow(10, 2)) if args.dataset == "boston"
-                   else (lambda: stepinvbcl_flow(5, 2)))
+        elif args.dataset == "naval":
+            flow = sal_invbcl_flow(1)    # SAL_InvBCL 1 (exp_config.py:54)
+        elif args.dataset in ("boston", "concrete", "energy", "protein"):
+            # Step-family table archs needing the identity-fit init
+            # (exp_config.py:50-56): boston/protein StepTanhL 10x2,
+            # energy StepTanhL 15x4, concrete StepInverseBoxCoxL 5x2
+            # (the reference's committed exp_utils.py cannot dispatch
+            # the concrete arm)
+            gens = {"boston": lambda: steptanhl_flow(10, 2),
+                    "protein": lambda: steptanhl_flow(10, 2),
+                    "energy": lambda: steptanhl_flow(15, 4),
+                    "concrete": lambda: stepinvbcl_flow(5, 2)}
+            gen = gens[args.dataset]
             t0 = time.time()
             y_tr = Y_tr_full.numpy()
             flow, mse = find_forward_params(
@@ -588,9 +609,11 @@ def run(args):
             print(f"Step identity-fit: MSE={mse:.3e} in {t_init:.1f}s",
                   flush=True)
         else:
-            raise SystemExit("TGP replica supports power (SAL x2), boston "
-                             "(StepTanhL 10x2), concrete (StepInvBCL 5x2), "
-                             "wine_white (SAL_BCL 10), kin8nm (InvBCL 1)")
+            raise SystemExit("TGP replica supports power (SAL x2), boston/"
+                             "protein (StepTanhL 10x2), energy (StepTanhL "
+                             "15x4), concrete (StepInvBCL 5x2), naval "
+                             "(SAL_InvBCL 1), wine_red (SAL 3), wine_white "
+                             "(SAL_BCL 10), kin8nm (InvBCL 1)")
     elif args.model == "ID_TGP":
         cfgs = {"power": (3, "relu", 2, 0.25, 50),
                 "boston": (1, "tanh", 1, 0.5, 25)}  # exp_config.py:4-27
