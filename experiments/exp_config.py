@@ -31,13 +31,32 @@ SVGP_DEFAULT = dict(flow_arch=None, num_blocks=None, num_steps=None,
 
 
 def return_hyperparams(model: str, dataset: str) -> dict:
+    """Validated flow config for (model, dataset).
+
+    The explicit HYPERPARAMS entries carry the reference's committed
+    main.py defaults; every other grid dataset falls back to the paper
+    sweep tables below (reference: bash_scripts/launch_test_uci_*.sh),
+    so the CLI dispatches all nine regression corpora like the
+    reference's launchers do.
+    """
     if model == "SVGP":
         return dict(SVGP_DEFAULT)
     key = (model, dataset)
-    if key not in HYPERPARAMS:
-        raise KeyError(f"no validated hyperparameters for {key}; add them to "
-                       f"experiments/exp_config.py")
-    return dict(HYPERPARAMS[key])
+    if key in HYPERPARAMS:
+        return dict(HYPERPARAMS[key])
+    if model == "TGP" and dataset in TGP_REGRESSION_SWEEP:
+        arch, nb, ns = TGP_REGRESSION_SWEEP[dataset]
+        hp = dict(SVGP_DEFAULT)
+        hp.update(flow_arch=arch, num_blocks=nb, num_steps=ns)
+        return hp
+    if model == "ID_TGP" and dataset in ID_TGP_REGRESSION_SWEEP:
+        nb, act, nh, dr, bn, width = ID_TGP_REGRESSION_SWEEP[dataset]
+        return dict(flow_arch="SAL", num_blocks=nb, num_steps=None,
+                    flow_hidden_act=act, flow_num_hidden_layers=nh,
+                    flow_DR=dr, flow_BN=bn, flow_hidden_dim=width,
+                    flow_inference="MC_dropout")
+    raise KeyError(f"no validated hyperparameters for {key}; add them to "
+                   f"experiments/exp_config.py")
 
 
 # ---------------------------------------------------------------------------

@@ -101,25 +101,29 @@ def run(args):
     flow_kwargs = {k: v for k, v in flow_kwargs.items() if v is not None}
 
     flow_spec, flow_params0 = IDENTITY_SPEC, None
-    if args.model != "SVGP":
-        if hp["flow_arch"] == "SAL":
-            np.random.seed(cfg.config_seed)
-            fl = G.SAL(hp["num_blocks"], **flow_kwargs)
-            flow_spec, flow_inits = spec_from_list(fl)
-        elif hp["flow_arch"] == "StepTanhL":
+    if args.model == "ID_TGP":
+        np.random.seed(cfg.config_seed)
+        fl = G.SAL(hp["num_blocks"], **flow_kwargs)
+        flow_spec, flow_inits = spec_from_list(fl)
+    elif args.model == "TGP":
+        # full table-arch dispatch shared with sweep.py/battery.py
+        # (reference: main.py:165-208 + exp_utils.py:17-42)
+        import flow_arch as FA
+        arch, nb, ns = hp["flow_arch"], hp["num_blocks"], hp["num_steps"]
+        if FA.is_step_arch(arch):
             # identity-fit initializer (reference: main.py:168-190)
             print("==== running identity-fit flow initializer ====")
             y = dc["Y_tr"]
             flow_spec, fitted_params, mse = fit_flow_to_identity(
-                lambda: G.StepTanhL(hp["num_blocks"], hp["num_steps"],
-                                    add_f0=True, **flow_kwargs),
+                FA.make_step_gen(arch, nb, ns),
                 float(y.min()) - 1.0, float(y.max()) + 1.0,
                 num_restarts=1, num_epochs=2000)
             print(f"initializer MSE {mse:.3e}")
             flow_inits = None
             flow_params0 = fitted_params
         else:
-            raise NotImplementedError(hp["flow_arch"])
+            np.random.seed(cfg.config_seed)
+            flow_spec, flow_inits = FA.build_point_flow(arch, nb)
 
     # ---- likelihood / kernel / model (main.py:210-263) -------------------
     if args.model == "SVGP":

@@ -57,6 +57,26 @@ def test_id_flow_matches_direct_construction(dataset):
     assert str(got_inits) == str(want_inits)
 
 
+def test_return_hyperparams_sweep_fallback():
+    # datasets without a committed HYPERPARAMS entry resolve to the paper
+    # sweep tables so experiments/main.py dispatches the whole grid
+    hp = EC.return_hyperparams("TGP", "energy")
+    assert (hp["flow_arch"], hp["num_blocks"], hp["num_steps"]) == \
+        EC.TGP_REGRESSION_SWEEP["energy"]
+    hp = EC.return_hyperparams("TGP", "naval")
+    assert (hp["flow_arch"], hp["num_blocks"]) == ("SAL_InvBCL", 1)
+    hp = EC.return_hyperparams("ID_TGP", "energy")
+    nb, act, nh, dr, bn, width = EC.ID_TGP_REGRESSION_SWEEP["energy"]
+    assert hp == dict(flow_arch="SAL", num_blocks=nb, num_steps=None,
+                      flow_hidden_act=act, flow_num_hidden_layers=nh,
+                      flow_DR=dr, flow_BN=bn, flow_hidden_dim=width,
+                      flow_inference="MC_dropout")
+    # explicit entries still take precedence over the sweep fallback
+    assert EC.return_hyperparams("TGP", "boston")["flow_arch"] == "StepTanhL"
+    with pytest.raises(KeyError):
+        EC.return_hyperparams("TGP", "not_a_dataset")
+
+
 def test_arch_flag_and_overrides():
     assert FA.parse_arch_flag("StepTanhL:10:2") == ("StepTanhL", 10, 2)
     assert FA.parse_arch_flag("SAL_BCL:2") == ("SAL_BCL", 2, None)
