@@ -195,8 +195,17 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         platform_note = " [DEFAULT PLATFORM UNRESPONSIVE - CPU FALLBACK]"
     ours = bench_jax(X, Y)
+    # Idle-host reference for the torch denominator (measured on this host
+    # with nothing else running, round 2: 1699.909 steps/s at vs_baseline
+    # 340.611 -> 4.991 steps/s).  The live measurement is authoritative
+    # when it is FASTER (hardware/torch improvements must not overstate
+    # us), but a background job on this single-core host can slow the
+    # live torch run and silently inflate the ratio — clamp with the
+    # idle measurement so contention can only make vs_baseline
+    # conservative.
+    IDLE_TORCH_STEPS_PER_SEC = 4.991
     try:
-        base = bench_torch(X, Y)
+        base = max(bench_torch(X, Y), IDLE_TORCH_STEPS_PER_SEC)
     except Exception:
         base = float("nan")
     out = {
