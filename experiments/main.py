@@ -49,6 +49,13 @@ def parse_args(argv=None):
                    choices=["highest", "high", "default"],
                    help="MXU pass count for the factor applications; the "
                         "K_zz Cholesky always stays 'highest'")
+    p.add_argument("--solve_warmup_epochs", type=int, default=0,
+                   help="run this many initial epochs with all-'highest' "
+                        "solves before switching to the requested "
+                        "--fast_solves/--solve_precision mode (optimizer "
+                        "moments carry across the switch).  Mitigates the "
+                        "measured early-plateau stall of fast+'high' at "
+                        "mid M (PARITY.md solve-precision section)")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "
@@ -175,12 +182,30 @@ def run(args):
         dp, ty = (int(v) for v in args.mesh.lower().split("x"))
         mesh = make_mesh(dp=dp, ty=ty)
         print(f"==== training on a {dp}x{ty} (dp x ty) device mesh ====")
+    warmup = 0
+    spec_final = spec
+    if args.solve_warmup_epochs > 0 and (
+            spec.fast_solves or spec.solve_precision != "highest"):
+        # warm up on the all-'highest' trajectory, then switch the solve
+        # mode with the Adam moments carried across the swap (train()
+        # keeps optimizer state across calls for the same opt kind)
+        warmup = min(args.solve_warmup_epochs, args.epochs)
+        import dataclasses
+        spec = dataclasses.replace(spec, fast_solves=False,
+                                   solve_precision="highest")
     trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test,
                       seed=args.train_seed, mesh=mesh)
     t0 = time.time()
-    trainer.train(args.epochs, args.lr, "adam",
-                  optimisation_schedule=schedule,
-                  verbose_each=args.verbose_each)
+    if warmup:
+        print(f"==== solve warmup: {warmup} epochs at trsm/'highest' ====")
+        trainer.train(warmup, args.lr, "adam",
+                      optimisation_schedule=schedule,
+                      verbose_each=args.verbose_each)
+        trainer.spec = spec_final
+    if args.epochs - warmup > 0:
+        trainer.train(args.epochs - warmup, args.lr, "adam",
+                      optimisation_schedule=schedule,
+                      verbose_each=args.verbose_each)
     train_time = time.time() - t0
 
     if args.checkpoint_dir:

@@ -64,3 +64,42 @@ def test_solve_precision_modes_agree_on_cpu():
         g = jax.grad(lambda p: -M.elbo(sp, p, X, Y)[0])(params)
         assert all(np.isfinite(l).all() for l in
                    map(np.asarray, jax.tree_util.tree_leaves(g)))
+
+
+def test_solve_warmup_spec_swap_mid_run():
+    """experiments/main.py --solve_warmup_epochs trains a 'highest' warmup
+    phase then swaps trainer.spec to the requested solve mode with the Adam
+    moments carried.  On CPU every mode computes the same fp32 math, so the
+    two-phase run must bit-match an uninterrupted single-spec run."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+
+    spec, params, X, Y = _model()
+    fast = dataclasses.replace(spec, fast_solves=True,
+                               solve_precision="high")
+    ds = ArrayDataset(np.asarray(X), np.asarray(Y))
+    loaders = (DataLoader(ds, len(ds), shuffle=False),
+               DataLoader(ds, len(ds), shuffle=False))
+    Y_std = np.ones(1)
+
+    # the scan fast path donates the param buffers, so each Trainer needs
+    # its own copy of the initial pytree
+    def fresh():
+        return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                      params)
+
+    tr = Trainer(fast, fresh(), loaders, Y_std, seed=0)
+    tr.train(20, 0.01, "adam")
+    ref_leaves = jax.tree_util.tree_leaves(tr.params)
+
+    # two-phase: 8 epochs on the all-'highest' spec, swap, 12 more
+    tr2 = Trainer(spec, fresh(), loaders, Y_std, seed=0)
+    tr2.train(8, 0.01, "adam")
+    tr2.spec = fast
+    tr2.train(12, 0.01, "adam")
+    for a, b in zip(ref_leaves, jax.tree_util.tree_leaves(tr2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)
