@@ -649,7 +649,21 @@ def run(args):
     out = open(args.out, "a")
     t0 = time.time()
     steps = 0
-    for ep in range(args.epochs):
+    start_ep = 0
+    if args.ckpt and os.path.exists(args.ckpt):
+        # Bit-exact resume: params + Adam moments + the shuffle rng stream.
+        # Lets multi-hour eager cells (protein full protocol ~16 h) span
+        # driver rounds instead of restarting from scratch.
+        state = torch.load(args.ckpt, weights_only=False)
+        model.load_state_dict(state["model"])
+        opt.load_state_dict(state["opt"])
+        gen.set_state(state["gen"])
+        torch.set_rng_state(state["torch_rng"])
+        start_ep = state["epoch"]
+        steps = state["steps"]
+        t0 = time.time() - state["elapsed"]
+        print(f"resumed from {args.ckpt} at epoch {start_ep}", flush=True)
+    for ep in range(start_ep, args.epochs):
         perm = torch.randperm(N_tr, generator=gen)
         for s in range(0, N_tr, 10000):
             idx = perm[s:s + 10000]
@@ -670,6 +684,15 @@ def run(args):
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(rec, flush=True)
+        if args.ckpt and (ep + 1) % args.ckpt_each == 0:
+            tmp = args.ckpt + ".tmp"
+            torch.save({"epoch": ep + 1, "steps": steps,
+                        "elapsed": time.time() - t0,
+                        "model": model.state_dict(),
+                        "opt": opt.state_dict(),
+                        "gen": gen.get_state(),
+                        "torch_rng": torch.get_rng_state()}, tmp)
+            os.replace(tmp, args.ckpt)
     train_time = time.time() - t0
     sps = steps / train_time
 
@@ -722,4 +745,9 @@ if __name__ == "__main__":
                    help="torch.manual_seed (dropout masks / MC eval); vary "
                         "for scatter estimates of stochastic cells")
     p.add_argument("--out", default="results_torch_replica.jsonl")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint path: save every --ckpt_each epochs and "
+                        "bit-exact resume from it if it exists (multi-hour "
+                        "cells surviving driver-round boundaries)")
+    p.add_argument("--ckpt_each", type=int, default=250)
     run(p.parse_args())
