@@ -14,7 +14,8 @@ device->host transfer, i.e. what a caller of `predict()` actually waits):
   * warm p50/p95 latency for a small request (n=32, padded to the small
     bucket) and a full large-bucket request (n=4096),
   * throughput (rows/s) at the large bucket,
-  * the same for moments+bands (S=200 predictive samples) and for the
+  * the same for bands-only requests (device-side S=200 quantiles, one
+    fetch), raw-sample requests (S=200 samples cross to the host), and the
     fully-Bayesian MC-dropout arm (S_MC=100 dropout draws per request).
 
 Arms: TGP (SAL 2, the power table arch) and ID_TGP (MC-dropout hypernet
@@ -42,16 +43,15 @@ def p50_p95(ts):
     return float(q[0]), float(q[1])
 
 
-def bench_predictor(name, pred, Xq_small, Xq_large, reps, samples=0):
+def bench_predictor(name, pred, Xq_small, Xq_large, reps, samples=0,
+                    quantiles=None):
     res = []
     # cold compile: first call per bucket
     t0 = time.perf_counter()
-    pred.predict(Xq_small, samples=samples,
-                 quantiles=(0.025, 0.975) if samples else None)
+    pred.predict(Xq_small, samples=samples, quantiles=quantiles)
     cold_small = time.perf_counter() - t0
     t0 = time.perf_counter()
-    pred.predict(Xq_large, samples=samples,
-                 quantiles=(0.025, 0.975) if samples else None)
+    pred.predict(Xq_large, samples=samples, quantiles=quantiles)
     cold_large = time.perf_counter() - t0
     res.append({"arm": name, "what": "cold_compile_s",
                 "small_bucket": round(cold_small, 3),
@@ -62,8 +62,7 @@ def bench_predictor(name, pred, Xq_small, Xq_large, reps, samples=0):
         ts = []
         for _ in range(r):
             t0 = time.perf_counter()
-            pred.predict(Xq, samples=samples,
-                         quantiles=(0.025, 0.975) if samples else None)
+            pred.predict(Xq, samples=samples, quantiles=quantiles)
             ts.append(time.perf_counter() - t0)
         p50, p95 = p50_p95(ts)
         rec = {"arm": name, "what": f"warm_latency_{label}", "reps": r,
@@ -134,8 +133,10 @@ def main():
                                noise_init=0.05)
     pred = Predictor(spec, params, Y_std=2.0, Y_mean=1.0, buckets=buckets)
     bench_predictor("TGP_moments", pred, Xq_small, Xq_large, args.reps)
-    bench_predictor("TGP_moments_bands_S200", pred, Xq_small, Xq_large,
-                    args.reps, samples=200)
+    bench_predictor("TGP_bands_only", pred, Xq_small, Xq_large, args.reps,
+                    quantiles=(0.025, 0.975))
+    bench_predictor("TGP_samples_S200", pred, Xq_small, Xq_large,
+                    args.reps, samples=200, quantiles=(0.025, 0.975))
 
     # ---- ID_TGP arm: MC-dropout hypernet SAL 3 (power ID arch) -----------
     if not args.skip_bayesian:

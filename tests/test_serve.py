@@ -76,3 +76,41 @@ def test_reduce_false_per_point_logp():
     per = M.test_log_likelihood(spec, params, jnp.asarray(X), jnp.asarray(Y),
                                 jnp.ones(1), reduce=False)
     np.testing.assert_allclose(float(per.sum()), float(full[0]), rtol=1e-8)
+
+
+def test_predictor_rng_counter_semantics():
+    # one-program requests advance the rng via an in-jit fold_in of a call
+    # counter: same seed => reproducible sequence; successive calls differ
+    spec, params, X = _model(flow=G.SAL(1))
+    p1 = Predictor(spec, params, buckets=(16,), seed=7)
+    p2 = Predictor(spec, params, buckets=(16,), seed=7)
+    a1 = p1.predict(X[:8], samples=20)["samples"]
+    a2 = p1.predict(X[:8], samples=20)["samples"]
+    b1 = p2.predict(X[:8], samples=20)["samples"]
+    np.testing.assert_array_equal(a1, b1)          # same seed, same call idx
+    assert not np.array_equal(a1, a2)              # counter advanced
+
+
+def test_predictor_bands_match_host_quantiles():
+    # fused in-jit quantiles == host-side quantiles of the returned samples
+    spec, params, X = _model(flow=G.SAL(1))
+    pred = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16,))
+    out = pred.predict(X[:8], samples=400)
+    q = np.quantile(out["samples"], [0.025, 0.975], axis=1)
+    np.testing.assert_allclose(out["lower"], q[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out["upper"], q[-1], rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_bands_only_matches_samples_path():
+    # in-jit device quantiles (bands-only request) == host quantiles of the
+    # raw-samples path at the same call index (same fold_in rng, same S)
+    spec, params, X = _model(flow=G.SAL(1))
+    pa = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16,), seed=3)
+    pb = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16,), seed=3)
+    bands = pa.predict(X[:8], samples=0)              # default quantiles, S=200
+    samp = pb.predict(X[:8], samples=200)
+    np.testing.assert_allclose(bands["lower"], samp["lower"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(bands["upper"], samp["upper"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(bands["mean"], samp["mean"], rtol=1e-6)

@@ -5,7 +5,10 @@ python paths).  For production serving on TPU the constraints are:
   * fixed shapes — XLA compiles one program per input shape, so requests
     are padded to a small set of batch buckets,
   * no host round-trips inside a request — moments, quantiles and samples
-    come out of a single jitted call,
+    come out of a single jitted call, and the per-request PRNG advance is a
+    fold_in of a call counter inside that same program (a host-side
+    jax.random.split is itself a dispatched program; on a remote/tunneled
+    TPU each dispatched program costs ~30 ms, so one request == ONE program),
   * explicit PRNG handling for MC-dropout (Bayesian) models.
 
 Typical use:
@@ -63,33 +66,63 @@ class Predictor:
         spec_ = spec
         fb = fully_bayesian
 
+        # Every request costs exactly ONE dispatched program: the per-request
+        # rng advance is a fold_in of a traced call counter INSIDE the jit
+        # (a host-side jax.random.split is itself a dispatched program — on a
+        # remote/tunneled TPU that doubles request latency), and the
+        # moments/samples/quantile reduction for banded predictions is fused
+        # into a single program so samples never cross the host boundary
+        # unless the caller asked for them.
+
+        # Outputs are PACKED into one device array per program: over a
+        # remote/tunneled runtime every BLOCKING device->host fetch is its
+        # own ~30 ms round trip, so fetching (mean, var, lower, upper) as
+        # four arrays quadruples request latency; one stacked (k, Dy, MB)
+        # array costs one fetch.
+
         @partial(jax.jit, static_argnums=(2,))
-        def _moments(params, X, S_MC, rng):
+        def _moments(params, X, S_MC, base, ctr):
+            rng = jax.random.fold_in(base, ctr)
             m1, m2, mu, var = tgp_mod.predictive_distribution(
                 spec_, params, X, S_MC=S_MC, fully_bayesian=fb, rng=rng)
-            return m1, m2, mu, var
+            if m2 is None:          # classification: probabilities (MB, C)
+                return m1
+            return jnp.stack([m1, m2])
 
-        @partial(jax.jit, static_argnums=(2,))
-        def _samples(params, X, S, rng):
-            y, fk, f0 = tgp_mod.sample_predictive(spec_, params, X, S, rng,
-                                                  fully_bayesian=fb)
-            return y
+        @partial(jax.jit, static_argnums=(2, 3, 4, 5))
+        def _predict_full(params, X, S_MC, S, quantiles, return_samples,
+                          base, ctr):
+            rng = jax.random.fold_in(base, ctr)
+            r_mom, r_smp = jax.random.split(rng)
+            m1, m2, _, _ = tgp_mod.predictive_distribution(
+                spec_, params, X, S_MC=S_MC, fully_bayesian=fb, rng=r_mom)
+            y, _, _ = tgp_mod.sample_predictive(spec_, params, X, S, r_smp,
+                                                fully_bayesian=fb)
+            parts = [m1, m2]
+            if quantiles:
+                q = jnp.quantile(y, jnp.asarray(quantiles), axis=1)
+                parts += [q[0], q[-1]]
+            return jnp.stack(parts), (y if return_samples else None)
 
         @partial(jax.jit, static_argnums=(3,))
-        def _log_prob(params, X, Y, S_MC, Y_std, rng):
+        def _log_prob(params, X, Y, S_MC, Y_std, base, ctr):
             # per-point densities so host-side masking of bucket padding is
             # exact with one compiled program per bucket
+            rng = jax.random.fold_in(base, ctr)
             return tgp_mod.test_log_likelihood(
                 spec_, params, X, Y, Y_std, S_MC=S_MC, fully_bayesian=fb,
                 rng=rng, reduce=False)
 
         self._moments = _moments
-        self._samples = _samples
+        self._predict_full = _predict_full
         self._log_prob = _log_prob
+        self._calls = 0
 
     def _next_rng(self):
-        self._rng, sub = jax.random.split(self._rng)
-        return sub
+        """(base_key, counter) pair consumed inside the jitted programs."""
+        ctr = np.uint32(self._calls)
+        self._calls += 1
+        return self._rng, ctr
 
     def _pad(self, X):
         X = np.asarray(X, cfg.default_dtype())
@@ -97,7 +130,9 @@ class Predictor:
         b = _bucket_for(n, self.buckets)
         if n < b:
             X = np.concatenate([X, np.repeat(X[-1:], b - n, axis=0)], axis=0)
-        return jnp.asarray(X), n
+        # returned as a HOST array: the H2D transfer then rides the jitted
+        # call's dispatch instead of being its own device_put round-trip
+        return X, n
 
     def predict(self, X, samples: int = 0, quantiles=(0.025, 0.975)):
         """Predictive moments (original data scale) + optional sample-based
@@ -107,25 +142,39 @@ class Predictor:
         """
         Xp, n = self._pad(X)
         S_MC = self.S_MC if self.fully_bayesian else 1
-        m1, m2, _, _ = self._moments(self.params, Xp, S_MC, self._next_rng())
+        base, ctr = self._next_rng()
         out = {}
         ystd, ymean = self.Y_std[:, None], self.Y_mean[:, None]
-        if m2 is None:  # classification: m1 are probabilities, shape (MB, C)
-            out["probs"] = np.asarray(m1)[:n]
+        is_class = self.spec.likelihood.kind in ("bernoulli", "categorical")
+        if is_class or not (samples or quantiles):
+            packed = np.asarray(self._moments(self.params, Xp, S_MC,
+                                              base, ctr))
+            if is_class:  # classification: probabilities, shape (MB, C)
+                out["probs"] = packed[:n]
+                return out
+            out["mean"] = packed[0][..., :n] * ystd + ymean
+            out["var"] = packed[1][..., :n] * ystd ** 2
             return out
-        m1 = np.asarray(m1)[..., :n]       # regression: (Dy, MB) -> trim batch
-        m2 = np.asarray(m2)[..., :n]
-        out["mean"] = m1 * ystd + ymean
-        out["var"] = m2 * ystd ** 2
-        if samples or quantiles:
-            S = samples or 200
-            y = np.asarray(self._samples(self.params, Xp, S, self._next_rng()))
-            y = y[..., :n] * ystd[:, None, :] + ymean[:, None, :]
+        S = samples or 200
+        # quantiles ride the device program ONLY when raw samples are not
+        # requested (bands-only requests then cost a single small fetch);
+        # when samples cross to the host anyway, quantiles are cheaper there
+        # than an extra device sort + fetch.
+        in_jit_q = tuple(quantiles) if (quantiles and not samples) else ()
+        packed, y = self._predict_full(self.params, Xp, S_MC, S, in_jit_q,
+                                       bool(samples), base, ctr)
+        packed = np.asarray(packed)[..., :n]
+        out["mean"] = packed[0] * ystd + ymean
+        out["var"] = packed[1] * ystd ** 2
+        if samples:
+            y = np.asarray(y)[..., :n] * ystd[:, None, :] + ymean[:, None, :]
+            out["samples"] = y
             if quantiles:
                 q = np.quantile(y, quantiles, axis=1)
                 out["lower"], out["upper"] = q[0], q[-1]
-            if samples:
-                out["samples"] = y
+        elif quantiles:
+            out["lower"] = packed[2] * ystd + ymean
+            out["upper"] = packed[3] * ystd + ymean
         return out
 
     def log_prob(self, X, Y):
@@ -136,7 +185,8 @@ class Predictor:
             [Y, np.repeat(Y[-1:], Xp.shape[0] - n, axis=0)], axis=0) \
             if Y.shape[0] < Xp.shape[0] else Y
         S_MC = self.S_MC if self.fully_bayesian else 1
-        lpp = np.asarray(self._log_prob(self.params, Xp, jnp.asarray(Yp), S_MC,
-                                        jnp.asarray(self.Y_std),
-                                        self._next_rng()))
+        base, ctr = self._next_rng()
+        lpp = np.asarray(self._log_prob(
+            self.params, Xp, Yp, S_MC,
+            self.Y_std.astype(cfg.default_dtype()), base, ctr))
         return lpp[..., :n].sum(axis=-1)
