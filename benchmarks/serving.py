@@ -133,6 +133,23 @@ def main():
                                noise_init=0.05)
     pred = Predictor(spec, params, Y_std=2.0, Y_mean=1.0, buckets=buckets)
     bench_predictor("TGP_moments", pred, Xq_small, Xq_large, args.reps)
+
+    # sustained QPS: pipelined map vs sequential predicts (n=32 moments)
+    reqs = [Xq_small] * args.reps
+    pred.map(reqs[:2], quantiles=None)          # warm
+    t0 = time.perf_counter()
+    pred.map(reqs, quantiles=None)
+    t_map = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for r in reqs:
+        pred.predict(r, quantiles=None)
+    t_seq = time.perf_counter() - t0
+    print(json.dumps({"arm": "TGP_moments", "what": "sustained_qps_n32",
+                      "requests": len(reqs),
+                      "map_qps": round(len(reqs) / t_map, 1),
+                      "sequential_qps": round(len(reqs) / t_seq, 1),
+                      "pipelining_speedup": round(t_seq / t_map, 2)}),
+          flush=True)
     bench_predictor("TGP_bands_only", pred, Xq_small, Xq_large, args.reps,
                     quantiles=(0.025, 0.975))
     bench_predictor("TGP_samples_S200", pred, Xq_small, Xq_large,

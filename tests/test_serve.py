@@ -114,3 +114,17 @@ def test_predictor_bands_only_matches_samples_path():
     np.testing.assert_allclose(bands["upper"], samp["upper"], rtol=1e-4,
                                atol=1e-5)
     np.testing.assert_allclose(bands["mean"], samp["mean"], rtol=1e-6)
+
+
+def test_predictor_map_matches_sequential_predicts():
+    # pipelined map == the same sequence of predict() calls (same counters)
+    spec, params, X = _model(flow=G.SAL(1))
+    pa = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16,), seed=9)
+    pb = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16,), seed=9)
+    reqs = [X[:8], X[8:20], X[20:30]]
+    outs_map = pa.map(reqs, samples=30)
+    outs_seq = [pb.predict(r, samples=30) for r in reqs]
+    assert len(outs_map) == 3
+    for om, os_ in zip(outs_map, outs_seq):
+        for k in om:
+            np.testing.assert_allclose(om[k], os_[k], rtol=1e-6)

@@ -134,48 +134,76 @@ class Predictor:
         # call's dispatch instead of being its own device_put round-trip
         return X, n
 
+    def _dispatch(self, X, samples, quantiles):
+        """Enqueue one request's program; returns an opaque handle.
+
+        JAX dispatch is asynchronous — this returns as soon as the program
+        is enqueued, letting `map` overlap many requests' device round
+        trips before any result is awaited."""
+        Xp, n = self._pad(X)
+        S_MC = self.S_MC if self.fully_bayesian else 1
+        base, ctr = self._next_rng()
+        is_class = self.spec.likelihood.kind in ("bernoulli", "categorical")
+        if is_class or not (samples or quantiles):
+            packed = self._moments(self.params, Xp, S_MC, base, ctr)
+            y = None
+        else:
+            # quantiles ride the device program ONLY when raw samples are
+            # not requested (bands-only requests then cost a single small
+            # fetch); when samples cross to the host anyway, quantiles are
+            # cheaper there than an extra device sort + fetch.
+            in_jit_q = tuple(quantiles) if (quantiles and not samples) else ()
+            packed, y = self._predict_full(self.params, Xp, S_MC,
+                                           samples or 200, in_jit_q,
+                                           bool(samples), base, ctr)
+        return (packed, y, n, samples, quantiles, is_class)
+
+    def _materialize(self, handle):
+        packed, y, n, samples, quantiles, is_class = handle
+        out = {}
+        ystd, ymean = self.Y_std[:, None], self.Y_mean[:, None]
+        packed = np.asarray(packed)
+        if is_class:  # classification: probabilities, shape (MB, C)
+            out["probs"] = packed[:n]
+            return out
+        packed = packed[..., :n]
+        out["mean"] = packed[0] * ystd + ymean
+        out["var"] = packed[1] * ystd ** 2
+        if y is not None and samples:
+            y = np.asarray(y)[..., :n] * ystd[:, None, :] + ymean[:, None, :]
+            out["samples"] = y
+            if quantiles:
+                q = np.quantile(y, quantiles, axis=1)
+                out["lower"], out["upper"] = q[0], q[-1]
+        elif quantiles and packed.shape[0] == 4:
+            out["lower"] = packed[2] * ystd + ymean
+            out["upper"] = packed[3] * ystd + ymean
+        return out
+
     def predict(self, X, samples: int = 0, quantiles=(0.025, 0.975)):
         """Predictive moments (original data scale) + optional sample-based
         quantile bands.
 
         Returns dict(mean (Dy,n), var, lower, upper[, samples (Dy,S,n)]).
         """
-        Xp, n = self._pad(X)
-        S_MC = self.S_MC if self.fully_bayesian else 1
-        base, ctr = self._next_rng()
-        out = {}
-        ystd, ymean = self.Y_std[:, None], self.Y_mean[:, None]
-        is_class = self.spec.likelihood.kind in ("bernoulli", "categorical")
-        if is_class or not (samples or quantiles):
-            packed = np.asarray(self._moments(self.params, Xp, S_MC,
-                                              base, ctr))
-            if is_class:  # classification: probabilities, shape (MB, C)
-                out["probs"] = packed[:n]
-                return out
-            out["mean"] = packed[0][..., :n] * ystd + ymean
-            out["var"] = packed[1][..., :n] * ystd ** 2
-            return out
-        S = samples or 200
-        # quantiles ride the device program ONLY when raw samples are not
-        # requested (bands-only requests then cost a single small fetch);
-        # when samples cross to the host anyway, quantiles are cheaper there
-        # than an extra device sort + fetch.
-        in_jit_q = tuple(quantiles) if (quantiles and not samples) else ()
-        packed, y = self._predict_full(self.params, Xp, S_MC, S, in_jit_q,
-                                       bool(samples), base, ctr)
-        packed = np.asarray(packed)[..., :n]
-        out["mean"] = packed[0] * ystd + ymean
-        out["var"] = packed[1] * ystd ** 2
-        if samples:
-            y = np.asarray(y)[..., :n] * ystd[:, None, :] + ymean[:, None, :]
-            out["samples"] = y
-            if quantiles:
-                q = np.quantile(y, quantiles, axis=1)
-                out["lower"], out["upper"] = q[0], q[-1]
-        elif quantiles:
-            out["lower"] = packed[2] * ystd + ymean
-            out["upper"] = packed[3] * ystd + ymean
-        return out
+        return self._materialize(self._dispatch(X, samples, quantiles))
+
+    def map(self, Xs, samples: int = 0, quantiles=(0.025, 0.975)):
+        """Pipelined batch of independent requests.
+
+        Dispatches every request's program before awaiting any result and
+        starts all device->host copies asynchronously, so the per-request
+        round-trip latency overlaps across requests instead of summing —
+        sustained throughput becomes compute-bound rather than RTT-bound
+        (on a tunneled TPU each awaited round trip costs ~30 ms; measured
+        in benchmarks/serving.py).  Returns a list of predict() dicts in
+        request order."""
+        handles = [self._dispatch(X, samples, quantiles) for X in Xs]
+        for packed, y, *_ in handles:
+            for arr in (packed, y):
+                if arr is not None and hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+        return [self._materialize(h) for h in handles]
 
     def log_prob(self, X, Y):
         """Per-request total predictive log-density, original data scale."""
