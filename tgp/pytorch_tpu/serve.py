@@ -21,6 +21,7 @@ Typical use:
 
 from __future__ import annotations
 
+import itertools
 from functools import partial
 
 import jax
@@ -116,13 +117,15 @@ class Predictor:
         self._moments = _moments
         self._predict_full = _predict_full
         self._log_prob = _log_prob
-        self._calls = 0
+        self._calls = itertools.count()
 
     def _next_rng(self):
-        """(base_key, counter) pair consumed inside the jitted programs."""
-        ctr = np.uint32(self._calls)
-        self._calls += 1
-        return self._rng, ctr
+        """(base_key, counter) pair consumed inside the jitted programs.
+
+        The counter comes from itertools.count, whose next() is atomic
+        under the GIL — concurrent predict() calls from a threaded serving
+        frontend get distinct PRNG streams."""
+        return self._rng, np.uint32(next(self._calls))
 
     def _pad(self, X):
         X = np.asarray(X, cfg.default_dtype())
@@ -169,13 +172,13 @@ class Predictor:
         packed = packed[..., :n]
         out["mean"] = packed[0] * ystd + ymean
         out["var"] = packed[1] * ystd ** 2
-        if y is not None and samples:
+        if samples:
             y = np.asarray(y)[..., :n] * ystd[:, None, :] + ymean[:, None, :]
             out["samples"] = y
             if quantiles:
                 q = np.quantile(y, quantiles, axis=1)
                 out["lower"], out["upper"] = q[0], q[-1]
-        elif quantiles and packed.shape[0] == 4:
+        elif quantiles:  # bands-only: _dispatch put the quantiles in-jit
             out["lower"] = packed[2] * ystd + ymean
             out["upper"] = packed[3] * ystd + ymean
         return out

@@ -559,6 +559,28 @@ def run(args):
     torch.manual_seed(args.torch_seed)
     np.random.seed(0)  # cg.set_seed(cg.config_seed=0), config.py:33-35,66
 
+    # Resume handling up-front: the checkpoint must match this run's cell
+    # (same shapes would otherwise load silently across splits/cells), a
+    # completed cell refuses to re-append its final row, and an actual
+    # resume skips the minutes of init work (k-means, identity fits) whose
+    # results load_state_dict would immediately overwrite.
+    ckpt_config = {"model": args.model, "dataset": args.dataset,
+                   "split": args.split, "num_inducing": args.num_inducing,
+                   "epochs": args.epochs, "torch_seed": args.torch_seed}
+    state = None
+    if args.ckpt and os.path.exists(args.ckpt):
+        state = torch.load(args.ckpt, weights_only=False)
+        if state.get("config") is None:  # pre-config ckpt format
+            print(f"WARNING: {args.ckpt} has no config record; trusting the "
+                  f"caller that it belongs to this cell", flush=True)
+        elif state["config"] != ckpt_config:
+            raise SystemExit(f"ckpt config mismatch: ckpt has "
+                             f"{state.get('config')}, run wants {ckpt_config}")
+        if state.get("done"):
+            raise SystemExit(f"{args.ckpt}: cell already completed; delete "
+                             f"the ckpt to re-run it")
+    resuming = state is not None
+
     loaders, dc = return_dataset(args.dataset, 10000, use_validation=None,
                                  seed=args.split)
     X_tr = torch.tensor(np.asarray(dc["X_tr"], np.float64))
@@ -569,9 +591,12 @@ def run(args):
     N_tr, Dx = X_tr.shape
     Y_std = torch.tensor(float(np.asarray(dc["Y_std"]).ravel()[0]))
 
-    km = KMeans(n_clusters=args.num_inducing, init="k-means++", n_init=10,
-                random_state=0).fit(X_tr.numpy())   # utils.py:143-159
-    init_Z = km.cluster_centers_
+    if resuming:  # placeholder; load_state_dict overwrites Z anyway
+        init_Z = X_tr[:args.num_inducing].numpy().copy()
+    else:
+        km = KMeans(n_clusters=args.num_inducing, init="k-means++", n_init=10,
+                    random_state=0).fit(X_tr.numpy())   # utils.py:143-159
+        init_Z = km.cluster_centers_
 
     hyper = None
     t_init = 0.0
@@ -600,14 +625,17 @@ def run(args):
                     "energy": lambda: steptanhl_flow(15, 4),
                     "concrete": lambda: stepinvbcl_flow(5, 2)}
             gen = gens[args.dataset]
-            t0 = time.time()
-            y_tr = Y_tr_full.numpy()
-            flow, mse = find_forward_params(
-                float(y_tr.min()), float(y_tr.max()), gen,
-                num_restarts=1, num_epochs=args.init_epochs, seed=0)
-            t_init = time.time() - t0
-            print(f"Step identity-fit: MSE={mse:.3e} in {t_init:.1f}s",
-                  flush=True)
+            if resuming:  # arch skeleton only; params come from the ckpt
+                flow = gen()
+            else:
+                t0 = time.time()
+                y_tr = Y_tr_full.numpy()
+                flow, mse = find_forward_params(
+                    float(y_tr.min()), float(y_tr.max()), gen,
+                    num_restarts=1, num_epochs=args.init_epochs, seed=0)
+                t_init = time.time() - t0
+                print(f"Step identity-fit: MSE={mse:.3e} in {t_init:.1f}s",
+                      flush=True)
         else:
             raise SystemExit("TGP replica supports power (SAL x2), boston/"
                              "protein (StepTanhL 10x2), energy (StepTanhL "
@@ -626,7 +654,7 @@ def run(args):
     model = SparseTGP(Dx, args.num_inducing, N_tr, init_Z, flow,
                       quad_points=100)
 
-    if args.model == "ID_TGP":
+    if args.model == "ID_TGP" and not resuming:
         t0 = time.time()
         fit_hypernets_to_identity(model, X_tr, epochs=args.init_epochs)
         t_init = time.time() - t0
@@ -650,11 +678,10 @@ def run(args):
     t0 = time.time()
     steps = 0
     start_ep = 0
-    if args.ckpt and os.path.exists(args.ckpt):
+    if resuming:
         # Bit-exact resume: params + Adam moments + the shuffle rng stream.
         # Lets multi-hour eager cells (protein full protocol ~16 h) span
         # driver rounds instead of restarting from scratch.
-        state = torch.load(args.ckpt, weights_only=False)
         model.load_state_dict(state["model"])
         opt.load_state_dict(state["opt"])
         gen.set_state(state["gen"])
@@ -688,6 +715,7 @@ def run(args):
             tmp = args.ckpt + ".tmp"
             torch.save({"epoch": ep + 1, "steps": steps,
                         "elapsed": time.time() - t0,
+                        "config": ckpt_config,
                         "model": model.state_dict(),
                         "opt": opt.state_dict(),
                         "gen": gen.get_state(),
@@ -729,6 +757,11 @@ def run(args):
         out.write(json.dumps(rec) + "\n")
         print(rec, flush=True)
     out.close()
+    if args.ckpt:
+        # mark completed: a relaunch of the same command exits instead of
+        # re-appending a duplicate final row to the shared results jsonl
+        torch.save({"done": True, "config": ckpt_config}, args.ckpt + ".tmp")
+        os.replace(args.ckpt + ".tmp", args.ckpt)
 
 
 if __name__ == "__main__":
