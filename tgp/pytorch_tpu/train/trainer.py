@@ -139,6 +139,22 @@ class Trainer:
         #: non-finite — the jit-compatible analog of the reference's NanError
         #: raises (code/dsp/utils.py:241-254, flow.py:115-123).
         self.nan_guard = True
+        #: optional early-stall detector (production failure detection).
+        #: Two measured phenomena motivate it: the naval SAL_InvBCL arch's
+        #: occasional under-converged rng runs (PARITY battery findings) and
+        #: the power M=256 fast_solves+'high' deterministic ELBO plateau
+        #: (PARITY solve-precision section).  Set to a dict to enable:
+        #:   {"window": 2000,            # trailing steps per comparison half
+        #:    "min_rel_improve": 1e-4,   # mean-ELBO improvement threshold
+        #:    "max_fraction": 0.5,       # only flag in the first half — a
+        #:                               # flat tail is ordinary convergence
+        #:    "action": "warn"}          # or "raise"
+        #: Checks run host-side at chunk boundaries (no effect on the
+        #: compiled step).  Fired events append to `self.plateau_events`;
+        #: mitigations to try: a different training rng, --solve_warmup_epochs
+        #: (solve-precision stalls), or 'highest' solve precision.
+        self.plateau_guard = None
+        self.plateau_events = []
         self._opt_cache = None  # (labels_repr, optimizer, opt_state)
 
     # ------------------------------------------------------------------
@@ -202,6 +218,35 @@ class Trainer:
             f"non-finite ELBO at {where}; non-finite parameters: {bad or 'none'}"
             f" — consider fp64 precision, a larger Cholesky jitter, or a "
             f"smaller learning rate")
+
+    def _check_plateau(self, ep_done: int, total_epochs: int):
+        g = self.plateau_guard
+        if not g:
+            return
+        w = int(g.get("window", 2000))
+        if len(self.loss_curve) < 2 * w:
+            return
+        if ep_done > g.get("max_fraction", 0.5) * total_epochs:
+            return
+        recent = float(np.mean(np.asarray(self.loss_curve[-w:], np.float64)))
+        prev = float(np.mean(np.asarray(self.loss_curve[-2 * w:-w],
+                                        np.float64)))
+        rel = (recent - prev) / (abs(prev) + 1e-12)
+        if rel >= g.get("min_rel_improve", 1e-4):
+            return
+        event = {"step": len(self.loss_curve), "epoch": ep_done,
+                 "rel_improve": rel, "window": w,
+                 "elbo_recent": recent, "elbo_prev": prev}
+        self.plateau_events.append(event)
+        msg = (f"ELBO plateau at epoch {ep_done}/{total_epochs}: mean over "
+               f"the last {w} recorded steps improved by {rel:.2e} rel "
+               f"(< {g.get('min_rel_improve', 1e-4):.0e}) while only "
+               f"{100 * ep_done / total_epochs:.0f}% through training — "
+               f"suspicious early stall; try another training rng, "
+               f"solve_precision='highest', or --solve_warmup_epochs")
+        if g.get("action", "warn") == "raise":
+            raise RuntimeError(msg)
+        print(f"WARNING: {msg}", flush=True)
 
     def _make_train_step(self, optimizer):
         spec = self.spec
@@ -416,6 +461,7 @@ class Trainer:
                     self.ell_curve.extend(np.asarray(curves[1]))
                     self.kld_curve.extend(np.asarray(curves[2]))
                     self._check_finite(f"epoch {ep_done}")
+                    self._check_plateau(ep_done, epochs)
                     # honour the requested cadence like the other two
                     # paths: one line per verbose_each multiple the chunk
                     # crossed, values read from the fetched curves
@@ -474,6 +520,7 @@ class Trainer:
                     self.kld_curve.append(curves[2][-1])
                     if ep_done % 50 == 0:
                         self._check_finite(f"epoch {ep_done}")
+                        self._check_plateau(ep_done, epochs)
                     if verbose_each and (ep_done % verbose_each == 0):
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
@@ -498,6 +545,7 @@ class Trainer:
                 ep_done += 1
                 if ep_done % 50 == 0:
                     self._check_finite(f"epoch {ep_done}")
+                    self._check_plateau(ep_done, epochs)
                 if verbose_each and (ep_done % verbose_each == 0):
                     print(f"| epoch {ep_done}/{epochs}  ELBO {float(e):.4f} "
                           f"ELL {float(ell):.4f} KLD {float(kld):.4f} "
