@@ -70,6 +70,9 @@ def main():
                    help="MXU pass count for factor applications; K_zz "
                         "Cholesky always stays 'highest'")
     p.add_argument("--out", default=None)
+    p.add_argument("--save_curves", default=None, metavar="NPY",
+                   help="save the per-seed ELBO training curves (R, T) to "
+                        "this .npy — e.g. for offline plateau/stall analysis")
     args = p.parse_args()
 
     if args.platform:
@@ -200,6 +203,13 @@ def main():
         clip_norm=args.clip_norm,
         verbose_each=max(args.epochs // 5, 1), mesh=mesh)
     train_s = time.time() - t0
+
+    if args.save_curves:
+        elbo = np.asarray(curves["elbo"])
+        if elbo.shape[0] != R:          # scan emits (T, R); store (R, T)
+            elbo = elbo.T
+        np.save(args.save_curves, elbo)
+        print(f"saved per-seed ELBO curves {elbo.shape} -> {args.save_curves}")
 
     if getattr(spec, "has_bn_flow", False):
         # recalibrate hypernet batch-norm statistics per replica before any

@@ -56,6 +56,9 @@ def parse_args(argv=None):
                         "moments carry across the switch).  Mitigates the "
                         "measured early-plateau stall of fast+'high' at "
                         "mid M (PARITY.md solve-precision section)")
+    p.add_argument("--plateau_guard", action="store_true",
+                   help="enable the Trainer's early-stall ELBO plateau "
+                        "detector (warn action, default window/thresholds)")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "
@@ -195,6 +198,9 @@ def run(args):
                                    solve_precision="highest")
     trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test,
                       seed=args.train_seed, mesh=mesh)
+    if args.plateau_guard:
+        trainer.plateau_guard = {"window": 2000, "min_rel_improve": 1e-4,
+                                 "max_fraction": 0.5, "action": "warn"}
     t0 = time.time()
     if warmup:
         print(f"==== solve warmup: {warmup} epochs at trsm/'highest' ====")
