@@ -196,12 +196,17 @@ def main():
         print(f"==== battery on a {args.mesh}-way dp mesh "
               f"(seed axis sharded) ====")
 
+    # early status line BEFORE the first (minutes-long) compile+chunk:
+    # background-run watchdogs (tools/tpu_run_robust.sh) treat a log that
+    # stays silent for 7 min as a wedged tunnel attach
+    print(f"battery: {args.model} {args.dataset} M={args.num_inducing} "
+          f"R={R} epochs={args.epochs} — compiling/launching", flush=True)
     t0 = time.time()
     params, curves = ms.train_multiseed_minibatch(
         spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
         batch_size=args.batch_size, seed=0, specs=specs,
         clip_norm=args.clip_norm,
-        verbose_each=max(args.epochs // 5, 1), mesh=mesh)
+        verbose_each=min(max(args.epochs // 5, 1), 2000), mesh=mesh)
     train_s = time.time() - t0
 
     if args.save_curves:
