@@ -15,8 +15,14 @@ precision/recall against the under-converged set (final NLL above a
 user-visible cut printed with the seed histogram).
 
 Usage:
-  python tools/plateau_analysis.py results_naval30_curves.npy \
-      results_naval30.jsonl [--nll_cut auto] [--window 2000]
+  python tools/plateau_analysis.py results_naval_curves_a.npy \
+      [results_naval_curves_b.npy ...] results_naval20.jsonl \
+      [--nll_cut auto] [--window 2000]
+
+Multiple curves files are concatenated along the seed axis and matched,
+in order, against the LAST k rows of the jsonl (one battery row per
+curves file) — the layout `battery.py --save_curves` produces when a
+seed population is split across several launches.
 """
 
 from __future__ import annotations
@@ -41,7 +47,8 @@ def first_flag_epoch(curve, window, thresh, max_fraction, cadence=250):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("curves")
+    ap.add_argument("curves", nargs="+",
+                    help="one or more (R_i, T) .npy curve stacks")
     ap.add_argument("jsonl")
     ap.add_argument("--window", type=int, default=2000)
     ap.add_argument("--max_fraction", type=float, default=0.5)
@@ -50,13 +57,18 @@ def main():
     ap.add_argument("--thresholds", default="1e-3,3e-4,1e-4,3e-5,1e-5,0")
     args = ap.parse_args()
 
-    curves = np.load(args.curves).astype(np.float64)   # (R, T)
-    rows = [json.loads(l) for l in open(args.jsonl)]
-    row = rows[-1]
+    stacks = [np.load(p).astype(np.float64) for p in args.curves]  # (R_i, T)
+    rows = [json.loads(l) for l in open(args.jsonl)][-len(stacks):]
+    assert len(rows) == len(stacks), "need one jsonl row per curves file"
+    for s, r in zip(stacks, rows):
+        assert s.shape[0] == len(r["nll"]), (s.shape, len(r["nll"]))
+    curves = np.concatenate(stacks, axis=0)
+    row = {"dataset": rows[0]["dataset"],
+           "nll": [v for r in rows for v in r["nll"]],
+           "seeds": [s for r in rows for s in r["seeds"]]}
     nll = np.asarray(row["nll"], np.float64)
     seeds = row["seeds"]
     R, T = curves.shape
-    assert len(nll) == R, (len(nll), R)
 
     med = float(np.median(nll))
     mad = float(np.median(np.abs(nll - med))) + 1e-12
