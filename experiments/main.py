@@ -56,9 +56,14 @@ def parse_args(argv=None):
                         "moments carry across the switch).  Mitigates the "
                         "measured early-plateau stall of fast+'high' at "
                         "mid M (PARITY.md solve-precision section)")
-    p.add_argument("--plateau_guard", action="store_true",
+    p.add_argument("--plateau_guard", nargs="?", const="warn", default=None,
+                   choices=["warn", "raise", "recover"],
                    help="enable the Trainer's early-stall ELBO plateau "
-                        "detector (warn action, default window/thresholds)")
+                        "detector (default window/thresholds).  Optional "
+                        "value picks the action; 'recover' auto-swaps a "
+                        "reduced-precision solve mode back to trsm/'highest' "
+                        "with optimizer moments carried (the reactive twin "
+                        "of --solve_warmup_epochs)")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "
@@ -200,7 +205,8 @@ def run(args):
                       seed=args.train_seed, mesh=mesh)
     if args.plateau_guard:
         trainer.plateau_guard = {"window": 2000, "min_rel_improve": 1e-4,
-                                 "max_fraction": 0.5, "action": "warn"}
+                                 "max_fraction": 0.5,
+                                 "action": args.plateau_guard}
     t0 = time.time()
     if warmup:
         print(f"==== solve warmup: {warmup} epochs at trsm/'highest' ====")

@@ -148,13 +148,22 @@ class Trainer:
         #:    "min_rel_improve": 1e-4,   # mean-ELBO improvement threshold
         #:    "max_fraction": 0.5,       # only flag in the first half — a
         #:                               # flat tail is ordinary convergence
-        #:    "action": "warn"}          # or "raise"
+        #:    "action": "warn"}          # or "raise" / "recover"
         #: Checks run host-side at chunk boundaries (no effect on the
         #: compiled step).  Fired events append to `self.plateau_events`;
         #: mitigations to try: a different training rng, --solve_warmup_epochs
         #: (solve-precision stalls), or 'highest' solve precision.
+        #: "recover" applies the solve-precision mitigation automatically:
+        #: when the guard fires while the spec runs a reduced-precision
+        #: solve mode (fast_solves or solve_precision != 'highest'), the
+        #: Trainer swaps the spec to trsm/'highest' in place and continues
+        #: with the SAME optimizer state — the reactive twin of
+        #: --solve_warmup_epochs' scheduled swap (both measured to recover
+        #: the power M=256 stall, PARITY solve-precision section).  When the
+        #: spec is already all-'highest' it degrades to "warn".
         self.plateau_guard = None
         self.plateau_events = []
+        self._recover_pending = False
         self._opt_cache = None  # (labels_repr, optimizer, opt_state)
 
     # ------------------------------------------------------------------
@@ -226,6 +235,11 @@ class Trainer:
         w = int(g.get("window", 2000))
         if len(self.loss_curve) < 2 * w:
             return
+        rec_at = g.get("_recovered_at")
+        if rec_at is not None and len(self.loss_curve) < rec_at + 2 * w:
+            # just recovered: wait for two fresh windows of post-swap
+            # trajectory before judging the plateau again
+            return
         if ep_done > g.get("max_fraction", 0.5) * total_epochs:
             return
         recent = float(np.mean(np.asarray(self.loss_curve[-w:], np.float64)))
@@ -244,9 +258,37 @@ class Trainer:
                f"{100 * ep_done / total_epochs:.0f}% through training — "
                f"suspicious early stall; try another training rng, "
                f"solve_precision='highest', or --solve_warmup_epochs")
-        if g.get("action", "warn") == "raise":
+        action = g.get("action", "warn")
+        if action == "recover" and (self.spec.fast_solves or
+                                    self.spec.solve_precision != "highest"):
+            event["action"] = "recover"
+            g["_recovered_at"] = len(self.loss_curve)
+            self._recover_pending = True
+            print(f"RECOVERING: {msg}", flush=True)
+            return
+        if action == "raise":
             raise RuntimeError(msg)
         print(f"WARNING: {msg}", flush=True)
+
+    def _maybe_recover_spec(self) -> bool:
+        """Consume a pending plateau-recovery request.
+
+        Swaps the solve mode to the all-'highest' trajectory (fast_solves
+        off) on `self.spec` and returns True so the calling loop rebuilds
+        its compiled step for the new spec.  The optimizer and its state
+        are untouched — Adam moments carry across the swap exactly like
+        --solve_warmup_epochs' scheduled version (spec-swap bit-equivalence
+        is tested there); only the direction differs: reactive downgrade
+        instead of scheduled upgrade."""
+        if not self._recover_pending:
+            return False
+        self._recover_pending = False
+        import dataclasses
+        self.spec = dataclasses.replace(self.spec, fast_solves=False,
+                                        solve_precision="highest")
+        print("plateau recovery: solves switched to trsm/'highest' with "
+              "optimizer moments carried", flush=True)
+        return True
 
     def _make_train_step(self, optimizer):
         spec = self.spec
@@ -462,6 +504,10 @@ class Trainer:
                     self.kld_curve.extend(np.asarray(curves[2]))
                     self._check_finite(f"epoch {ep_done}")
                     self._check_plateau(ep_done, epochs)
+                    if self._maybe_recover_spec():
+                        run_steps = (self._make_lbfgs_scan(optimizer, frozen)
+                                     if opt == "lbfgs"
+                                     else self._make_scan_steps(optimizer))
                     # honour the requested cadence like the other two
                     # paths: one line per verbose_each multiple the chunk
                     # crossed, values read from the fetched curves
@@ -521,6 +567,10 @@ class Trainer:
                     if ep_done % 50 == 0:
                         self._check_finite(f"epoch {ep_done}")
                         self._check_plateau(ep_done, epochs)
+                        if self._maybe_recover_spec():
+                            run_epoch = self._make_minibatch_scan(optimizer, MB)
+                            if rem:
+                                tail_step = self._make_train_step(optimizer)
                     if verbose_each and (ep_done % verbose_each == 0):
                         print(f"| epoch {ep_done}/{epochs}  "
                               f"ELBO {float(self.loss_curve[-1]):.4f} "
@@ -546,6 +596,8 @@ class Trainer:
                 if ep_done % 50 == 0:
                     self._check_finite(f"epoch {ep_done}")
                     self._check_plateau(ep_done, epochs)
+                    if self._maybe_recover_spec():
+                        step_fn = self._make_train_step(optimizer)
                 if verbose_each and (ep_done % verbose_each == 0):
                     print(f"| epoch {ep_done}/{epochs}  ELBO {float(e):.4f} "
                           f"ELL {float(ell):.4f} KLD {float(kld):.4f} "
