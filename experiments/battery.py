@@ -73,6 +73,22 @@ def main():
     p.add_argument("--save_curves", default=None, metavar="NPY",
                    help="save the per-seed ELBO training curves (R, T) to "
                         "this .npy — e.g. for offline plateau/stall analysis")
+    p.add_argument("--ckpt", default=None, metavar="PKL",
+                   help="checkpoint/resume file: training runs in "
+                        "--ckpt_each segments, saving the full battery "
+                        "state (params stack, Adam moments, rng streams, "
+                        "shuffle-generator states, curves) after each — a "
+                        "crashed multi-hour battery resumes bit-identically "
+                        "(train_multiseed's split==uninterrupted carry "
+                        "guarantee).  Resume also skips the per-seed "
+                        "identity/anchor fits (the fitted spec+params load "
+                        "from the checkpoint)")
+    p.add_argument("--ckpt_each", type=int, default=1000,
+                   help="epochs per checkpoint segment (with --ckpt)")
+    p.add_argument("--ckpt_stop_after", type=int, default=None,
+                   help=argparse.SUPPRESS)  # test hook: exit(75) after N
+    #                                         checkpoint saves (simulated
+    #                                         crash for resume tests)
     args = p.parse_args()
 
     if args.platform:
@@ -92,6 +108,28 @@ def main():
     seeds = parse_seeds(args.seeds)
     R = len(seeds)
 
+    # ---- checkpoint resume (battery-level failure recovery) ---------------
+    # meta pins everything that shapes the trajectory; a stale checkpoint
+    # from a different cell must never silently resume
+    ckpt_meta = {"model": args.model, "dataset": args.dataset,
+                 "M": args.num_inducing, "seeds": seeds,
+                 "epochs": args.epochs, "lr": args.lr, "arch": args.arch,
+                 "batch": args.batch_size, "precision": args.precision,
+                 "fast_solves": args.fast_solves,
+                 "solve_precision": args.solve_precision,
+                 "clip_norm": args.clip_norm}
+    resume = None
+    if args.ckpt and os.path.exists(args.ckpt):
+        import pickle
+        with open(args.ckpt, "rb") as f:
+            resume = pickle.load(f)
+        if resume["meta"] != ckpt_meta:
+            raise SystemExit(
+                f"checkpoint {args.ckpt} was written by a different battery "
+                f"config:\n  ckpt: {resume['meta']}\n  this: {ckpt_meta}")
+        print(f"resuming from {args.ckpt}: "
+              f"{resume['epochs_done']}/{args.epochs} epochs done")
+
     # ---- per-seed splits (identical protocol to main.py) ------------------
     Xtr, Ytr, Xte, Yte, Ystd, Z0s = [], [], [], [], [], []
     Dy = Dx = N_tr = None
@@ -104,20 +142,26 @@ def main():
         Xte.append(loaders[-1].dataset.X)
         Yte.append(loaders[-1].dataset.Y)
         Ystd.append(np.asarray(dc["Y_std"]).reshape(-1))
-        Z0s.append(kmeans_centers(dc["X_tr"], args.num_inducing, n_init=10,
-                                  seed=cfg.config_seed))
+        if resume is None:
+            Z0s.append(kmeans_centers(dc["X_tr"], args.num_inducing,
+                                      n_init=10, seed=cfg.config_seed))
 
     flow_spec = IDENTITY_SPEC
     flow_inits = None
     flow_fitted = None                    # per-seed fitted params (Step*)
     import flow_arch as FA
-    if args.model == "ID_TGP":
+    if resume is not None:
+        # fitted spec + per-seed fitted/anchor params load from the
+        # checkpoint (the params stack below); re-running the identity/
+        # anchor fits would waste minutes for an identical result
+        flow_spec = resume["flow_spec"]
+    elif args.model == "ID_TGP":
         # input-dependent SAL hypernets (ID sweep table); the anchor fit
         # (reference main.py:193-208) runs per seed, then training is the
         # same vmapped scan — hypernet weights are ordinary pytree leaves
         np.random.seed(cfg.config_seed)
         flow_spec, flow_inits = FA.build_id_flow(args.dataset, Dx)
-    if args.model == "TGP":
+    elif args.model == "TGP":
         try:
             arch, nb, ns = FA.resolve_tgp_arch(
                 args.dataset,
@@ -160,29 +204,33 @@ def main():
 
     import jax.numpy as jnp
     import jax.tree_util as jtu
-    per_seed = []
-    for r in range(R):
-        pr = M.init_tgp_params(
-            spec, Xtr[r], Z0s[r], variance_scale=1e-5, mean_scale=0.0,
-            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
-                         "noisy_variance": 1e-6},
-            noise_init=0.05, flow_inits=flow_inits)
-        if flow_fitted is not None:
-            pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy),
-                                      flow_fitted[r])
-        if args.model == "ID_TGP":
-            from tgp.pytorch_tpu.flows.initializers import (
-                fit_hypernet_to_anchors)
-            fp0 = jtu.tree_map(lambda x: x[0], pr["flow"])
-            # batch the fit exactly like main.py's loader (10000-row batches)
-            fit_batches = [Xtr[r][i:i + args.batch_size]
-                           for i in range(0, N_tr, args.batch_size)]
-            fp0, loss = fit_hypernet_to_anchors(
-                flow_spec, fp0, fit_batches, num_epochs=2000, noise_var=0.0)
-            pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), fp0)
-            print(f"seed {seeds[r]}: hypernet anchor-fit loss {loss:.3e}")
-        per_seed.append(pr)
-    params = ms.stack_trees(per_seed)
+    if resume is not None:
+        params = resume["params"]
+    else:
+        per_seed = []
+        for r in range(R):
+            pr = M.init_tgp_params(
+                spec, Xtr[r], Z0s[r], variance_scale=1e-5, mean_scale=0.0,
+                kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
+                             "noisy_variance": 1e-6},
+                noise_init=0.05, flow_inits=flow_inits)
+            if flow_fitted is not None:
+                pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy),
+                                          flow_fitted[r])
+            if args.model == "ID_TGP":
+                from tgp.pytorch_tpu.flows.initializers import (
+                    fit_hypernet_to_anchors)
+                fp0 = jtu.tree_map(lambda x: x[0], pr["flow"])
+                # batch the fit exactly like main.py's loader (10000 rows)
+                fit_batches = [Xtr[r][i:i + args.batch_size]
+                               for i in range(0, N_tr, args.batch_size)]
+                fp0, loss = fit_hypernet_to_anchors(
+                    flow_spec, fp0, fit_batches, num_epochs=2000,
+                    noise_var=0.0)
+                pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), fp0)
+                print(f"seed {seeds[r]}: hypernet anchor-fit loss {loss:.3e}")
+            per_seed.append(pr)
+        params = ms.stack_trees(per_seed)
 
     specs = None
     if args.model == "ID_TGP":
@@ -201,13 +249,55 @@ def main():
     # stays silent for 7 min as a wedged tunnel attach
     print(f"battery: {args.model} {args.dataset} M={args.num_inducing} "
           f"R={R} epochs={args.epochs} — compiling/launching", flush=True)
-    t0 = time.time()
-    params, curves = ms.train_multiseed_minibatch(
-        spec, params, np.stack(Xtr), np.stack(Ytr), args.epochs, args.lr,
-        batch_size=args.batch_size, seed=0, specs=specs,
-        clip_norm=args.clip_norm,
-        verbose_each=min(max(args.epochs // 5, 1), 2000), mesh=mesh)
-    train_s = time.time() - t0
+    Xs, Ys = np.stack(Xtr), np.stack(Ytr)
+    verbose = min(max(args.epochs // 5, 1), 2000)
+    if args.ckpt is None:
+        t0 = time.time()
+        params, curves = ms.train_multiseed_minibatch(
+            spec, params, Xs, Ys, args.epochs, args.lr,
+            batch_size=args.batch_size, seed=0, specs=specs,
+            clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh)
+        train_s = time.time() - t0
+    else:
+        # segmented training with post-segment checkpoints: a crash resumes
+        # bit-identically (train_multiseed's split==uninterrupted carry
+        # guarantee; the shuffle generators' PCG64 states are carried too)
+        import pickle
+        import jax
+        carry = resume["carry"] if resume else None
+        done = resume["epochs_done"] if resume else 0
+        train_s = resume["train_s"] if resume else 0.0
+        curve_parts = resume["curves"] if resume else []
+        saves = 0
+        while done < args.epochs:
+            n = min(args.ckpt_each, args.epochs - done)
+            t0 = time.time()
+            params, cv, carry = ms.train_multiseed_minibatch(
+                spec, params, Xs, Ys, n, args.lr,
+                batch_size=args.batch_size, seed=0, specs=specs,
+                clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
+                carry=carry, return_state=True)
+            train_s += time.time() - t0
+            done += n
+            curve_parts.append({k: np.asarray(v) for k, v in cv.items()})
+            host = lambda t: jtu.tree_map(lambda x: np.asarray(x), t)
+            tmp = args.ckpt + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"meta": ckpt_meta, "epochs_done": done,
+                             "train_s": train_s, "flow_spec": flow_spec,
+                             "params": host(params),
+                             "carry": {**carry,
+                                       "opt_state": host(carry["opt_state"])},
+                             "curves": curve_parts}, f)
+            os.replace(tmp, args.ckpt)     # atomic: never a torn checkpoint
+            print(f"checkpoint: {done}/{args.epochs} epochs -> {args.ckpt} "
+                  f"({train_s:.1f}s trained)", flush=True)
+            saves += 1
+            if args.ckpt_stop_after and saves >= args.ckpt_stop_after:
+                print("ckpt_stop_after: simulated crash", flush=True)
+                raise SystemExit(75)
+        curves = {k: np.concatenate([p[k] for p in curve_parts], axis=0)
+                  for k in curve_parts[0]}
 
     if args.save_curves:
         elbo = np.asarray(curves["elbo"])
