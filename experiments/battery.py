@@ -60,6 +60,12 @@ def main():
                    help="shard the seed (replica) axis over a DP-way device"
                         " mesh (seeds are independent, so the battery scales"
                         " embarrassingly across chips)")
+    p.add_argument("--train_seed", type=int, default=0,
+                   help="training rng stream seed (MC ELBO samples + "
+                        "minibatch shuffles); the split/init protocol is "
+                        "pinned by --seeds, so varying this isolates "
+                        "trajectory (MC-noise) fragility from data "
+                        "pathology when a split under-performs")
     p.add_argument("--clip_norm", type=float, default=None,
                    help="per-replica global-norm gradient clip (mitigates "
                         "inverse-Box-Cox derivative spikes)")
@@ -117,7 +123,8 @@ def main():
                  "batch": args.batch_size, "precision": args.precision,
                  "fast_solves": args.fast_solves,
                  "solve_precision": args.solve_precision,
-                 "clip_norm": args.clip_norm}
+                 "clip_norm": args.clip_norm,
+                 "train_seed": args.train_seed}
     resume = None
     if args.ckpt and os.path.exists(args.ckpt):
         import pickle
@@ -255,7 +262,7 @@ def main():
         t0 = time.time()
         params, curves = ms.train_multiseed_minibatch(
             spec, params, Xs, Ys, args.epochs, args.lr,
-            batch_size=args.batch_size, seed=0, specs=specs,
+            batch_size=args.batch_size, seed=args.train_seed, specs=specs,
             clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh)
         train_s = time.time() - t0
     else:
@@ -274,7 +281,7 @@ def main():
             t0 = time.time()
             params, cv, carry = ms.train_multiseed_minibatch(
                 spec, params, Xs, Ys, n, args.lr,
-                batch_size=args.batch_size, seed=0, specs=specs,
+                batch_size=args.batch_size, seed=args.train_seed, specs=specs,
                 clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
                 carry=carry, return_state=True)
             train_s += time.time() - t0
