@@ -110,6 +110,7 @@ def main():
     from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
     from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
     from tgp.pytorch_tpu.train import multiseed as ms
+    from tgp.pytorch_tpu.train.metrics import replica_outliers
 
     seeds = parse_seeds(args.seeds)
     R = len(seeds)
@@ -336,6 +337,18 @@ def main():
                   f"coverage {metrics['coverage'][i].mean():.3f}")
         print(f"mean +- std: NLL {nll.mean():.3f} +- {nll.std():.3f}   "
               f"RMSE {rmse.mean():.3f} +- {rmse.std():.3f}")
+        out = replica_outliers(nll)
+        flagged = [seeds[i] for i in np.nonzero(out["flags"])[0]]
+        if flagged:
+            # the naval-style bad basin: fits train as well as the healthy
+            # mode (no ELBO guard can see it) but sits many healthy-MAD off
+            # on test NLL; the measured fix is a different MC rng stream
+            print(f"OUTLIER replicas (|robust z| > 5 vs median "
+                  f"{out['median']:.3f}, MAD {out['mad']:.3f}): "
+                  + ", ".join(f"seed {s} (z {out['z'][seeds.index(s)]:+.1f})"
+                              for s in flagged)
+                  + f" — rerun with --seeds {','.join(map(str, flagged))} "
+                  f"--train_seed 1 (see PARITY.md naval study)")
         if args.out:
             with open(args.out, "a") as f:
                 f.write(json.dumps({
@@ -350,6 +363,7 @@ def main():
                     "rmse": [round(float(v), 4) for v in rmse],
                     "nll_mean": round(float(nll.mean()), 4),
                     "rmse_mean": round(float(rmse.mean()), 4),
+                    "outlier_seeds": flagged,
                 }) + "\n")
 
     if args.model == "ID_TGP":

@@ -72,6 +72,24 @@ def test_coverage_and_rmse_helpers():
     assert np.isclose(rmse(np.ones(5), np.zeros(5), Y_std=2.0), 2.0)
 
 
+def test_replica_outliers_flags_naval_style_basin():
+    from tgp.pytorch_tpu.train.metrics import replica_outliers
+
+    # the measured naval 20-seed shape: healthy cluster + two-run bad basin
+    nll = np.array([-7.20, -7.31, -7.05, -6.94, -7.38, -7.25, -5.731,
+                    -7.33, -7.00, -7.22, -5.735, -7.15, -7.24, -7.30,
+                    -7.18, -7.09, -7.31, -7.12, -7.26, -7.21])
+    out = replica_outliers(nll)
+    assert list(np.nonzero(out["flags"])[0]) == [6, 10]
+    assert (np.abs(out["z"][[6, 10]]) > 5).all()
+    # healthy scatter alone raises nothing
+    assert not replica_outliers(nll[:6])["flags"].any()
+    # degenerate populations never flag: identical replicas (MAD 0) and
+    # tiny populations (R < min_population)
+    assert not replica_outliers(np.ones(8))["flags"].any()
+    assert not replica_outliers([1.0, 2.0, 99.0])["flags"].any()
+
+
 def test_movement_rss_preprocessing(tmp_path):
     d = tmp_path / "dataset"
     d.mkdir()

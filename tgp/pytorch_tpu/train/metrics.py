@@ -78,3 +78,33 @@ def coverage_95(samples, Y):
 
 def rmse(pred_mean, Y, Y_std=1.0):
     return float(np.asarray(Y_std) * np.sqrt(np.mean((np.asarray(pred_mean) - np.asarray(Y)) ** 2)))
+
+
+def replica_outliers(values, z_thresh: float = 5.0, min_population: int = 5):
+    """Flag cross-replica outliers by robust (median/MAD) z-score.
+
+    The naval SAL_InvBCL study (PARITY.md, 20-seed population) showed the
+    warp chain has a discrete bad solution basin that fits TRAIN as well
+    as the good one (corr(final-ELBO, NLL) = 0.08) — invisible to any
+    training-signal guard, but 11 healthy-MAD away on test NLL.  At
+    battery level the cross-replica spread flags it for free; this is
+    that cut as a reusable function.
+
+    Args:
+      values: (R,) per-replica metric (lower-is-better NLL or any metric —
+        the cut is two-sided).
+      z_thresh: robust z threshold; 5.0 separates the measured naval
+        outliers (|z| ~ 11) from healthy scatter (|z| <= ~2.5) with a
+        wide margin.
+      min_population: below this many replicas the MAD is too noisy to
+        trust; returns no flags.
+
+    Returns dict(flags=bool (R,), z=float (R,), median, mad).  When the
+    MAD is exactly 0 (identical replicas) no flags are raised.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    med = float(np.median(v))
+    mad = float(np.median(np.abs(v - med)))
+    z = np.zeros_like(v) if mad == 0.0 else (v - med) / mad
+    flags = (np.abs(z) > z_thresh) & (mad > 0.0) & (v.size >= min_population)
+    return {"flags": flags, "z": z, "median": med, "mad": mad}
