@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200):
+def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200,
+                 id_hp=None):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -32,7 +33,19 @@ def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200):
     rng = np.random.RandomState(0)
     X = rng.randn(N, Dx).astype(np.float32)
     Y = rng.randn(N, 1).astype(np.float32)
-    if flow_blocks:
+    if id_hp is not None:
+        # input-dependent (hypernet) flows — the paper's flagship ID_TGP,
+        # reference exp_config defaults (MC-dropout MLP hypernets)
+        np.random.seed(0)
+        fl = G.SAL(flow_blocks, input_dependent=True, input_dim=Dx,
+                   num_hidden_layers=id_hp["flow_num_hidden_layers"],
+                   batch_norm=id_hp["flow_BN"], dropout=id_hp["flow_DR"],
+                   hidden_dim=id_hp["flow_hidden_dim"],
+                   hidden_activation=id_hp["flow_hidden_act"],
+                   inference=id_hp["flow_inference"])
+        fspec, finits = spec_from_list(fl)
+        lik = LikelihoodSpec("gaussian_flow", 1, quad_points=quad)
+    elif flow_blocks:
         np.random.seed(0)
         fspec, finits = spec_from_list(G.SAL(flow_blocks))
         lik = LikelihoodSpec("gaussian_flow", 1, quad_points=quad)
@@ -48,25 +61,31 @@ def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200):
     opt = optax.adam(0.01)
     s = opt.init(params)
 
-    @jax.jit
-    def run_chunk(p, s):
-        def body(c, _):
-            p, s = c
-            g = jax.grad(lambda pp: -Mm.elbo(spec, pp, Xd, Yd)[0])(p)
-            u, s2 = opt.update(g, s, p)
-            return (optax.apply_updates(p, u), s2), None
-        (p, s), _ = jax.lax.scan(body, (p, s), None, length=chunk)
-        return p, s
+    stochastic = id_hp is not None      # MC-dropout flows need a train rng
 
+    @jax.jit
+    def run_chunk(p, s, k):
+        def body(c, _):
+            p, s, k = c
+            k, sub = jax.random.split(k)
+            g = jax.grad(lambda pp: -Mm.elbo(
+                spec, pp, Xd, Yd, sub if stochastic else None)[0])(p)
+            u, s2 = opt.update(g, s, p)
+            return (optax.apply_updates(p, u), s2, k), None
+        (p, s, k), _ = jax.lax.scan(body, (p, s, k), None, length=chunk)
+        return p, s, k
+
+    from tgp.pytorch_tpu import config as _cfg
+    key = _cfg.make_rng(0)          # honours cfg.set_rng_impl (rbg A/B)
     t0 = time.perf_counter()
-    params, s = run_chunk(params, s)
+    params, s, key = run_chunk(params, s, key)
     jax.block_until_ready(params)
     compile_s = time.perf_counter() - t0
 
     n_chunks = max(1, steps // chunk)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        params, s = run_chunk(params, s)
+        params, s, key = run_chunk(params, s, key)
     jax.block_until_ready(params)
     train_sps = n_chunks * chunk / (time.perf_counter() - t0)
 
@@ -83,10 +102,24 @@ def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200):
     jax.block_until_ready(out)
     eval_ms = (time.perf_counter() - t0) / 5 * 1e3
 
-    return {"config": name, "N": N, "M": M, "quad": quad,
-            "train_steps_per_sec": round(train_sps, 1),
-            "eval_ms": round(eval_ms, 2),
-            "compile_s": round(compile_s, 1)}
+    row = {"config": name, "N": N, "M": M, "quad": quad,
+           "train_steps_per_sec": round(train_sps, 1),
+           "eval_ms": round(eval_ms, 2),
+           "compile_s": round(compile_s, 1)}
+
+    if id_hp is not None:
+        # fully-Bayesian eval (double-LSE over S_MC dropout draws) — the
+        # reference's BA mode (sparse_MF_SP.py:764-768), S_MC=100
+        ba_fn = jax.jit(lambda p, r: Mm.test_log_likelihood(
+            spec, p, Xd, Yd, jnp.ones(1), S_MC=100, fully_bayesian=True,
+            rng=r))
+        jax.block_until_ready(ba_fn(params, r))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = ba_fn(params, r)
+        jax.block_until_ready(out)
+        row["eval_ba_s100_ms"] = round((time.perf_counter() - t0) / 5 * 1e3, 2)
+    return row
 
 
 def main():
@@ -103,6 +136,12 @@ def main():
         bench_config("SVGP boston-size", 455, 13, 5, 0, 0),
         bench_config("SVGP power-size", 8611, 4, 100, 0, 0),
         bench_config("TGP power-size (SALx2, quad100)", 8611, 4, 100, 100, 2),
+        bench_config("ID_TGP power-size (SALx3 MC-dropout hypernets)",
+                     8611, 4, 100, 100, 3,
+                     id_hp={"flow_num_hidden_layers": 2, "flow_BN": 0,
+                            "flow_DR": 0.25, "flow_hidden_dim": 50,
+                            "flow_hidden_act": "relu",
+                            "flow_inference": "MC_dropout"}),
         bench_config("TGP large (M=512, N=65536)", 65536, 8, 512, 100, 2,
                      steps=100, chunk=50),
     ]

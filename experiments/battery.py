@@ -46,6 +46,10 @@ def main():
     p.add_argument("--epochs", type=int, default=15000)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--precision", default="fp32")
+    p.add_argument("--rng_impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="training-draw PRNG; rbg = TPU hardware RNG, "
+                        "1.33x faster ID_TGP steps (benchmarks/id_profile.py)")
     p.add_argument("--platform", default=None)
     p.add_argument("--S_test", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=10000,
@@ -102,6 +106,7 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     from tgp.pytorch_tpu import config as cfg
     cfg.set_precision(args.precision)
+    cfg.set_rng_impl(args.rng_impl)
 
     import numpy as np
     from tgp.pytorch_tpu.data import return_dataset, kmeans_centers

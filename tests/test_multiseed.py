@@ -224,3 +224,57 @@ def test_bn_battery_finalizes_stats_per_replica():
     # replicas see shifted inputs, so recalibrated stats change the scores
     assert not np.allclose(m_raw["logL"], m_fin["logL"])
     assert np.isfinite(m_fin["logL"]).all()
+
+
+def test_battery_mesh_pads_non_divisible_replicas():
+    """R=5 on a dp=8 mesh: _pad_for_mesh clones the last replica so
+    device_put accepts the sharding, and every output slices back to R=5
+    — bit-matching the unsharded run (the reference's canonical R=10
+    battery on an 8-chip mesh is this case)."""
+    from tgp.pytorch_tpu.parallel.mesh import make_mesh
+    spec, finits = _spec()
+    R, M = 5, 6
+    data = [_make_replica(r) for r in range(R)]
+    stack = ms.stack_trees([_init(spec, finits, X, M) for X, _ in data])
+    Xs = np.stack([d[0] for d in data])
+    Ys = np.stack([d[1] for d in data])
+
+    p_ref, c_ref = ms.train_multiseed(spec, stack, Xs, Ys, epochs=20, lr=0.05)
+
+    stack2 = ms.stack_trees([_init(spec, finits, X, M) for X, _ in data])
+    mesh = make_mesh(dp=8, ty=1)
+    p_sh, c_sh, state = ms.train_multiseed(spec, stack2, Xs, Ys, epochs=20,
+                                           lr=0.05, mesh=mesh,
+                                           return_state=True)
+    assert c_sh["elbo"].shape == (20, R)
+    jax.tree_util.tree_map(
+        lambda a, b: (np.testing.assert_equal(np.shape(a), np.shape(b)),
+                      np.testing.assert_allclose(np.asarray(a),
+                                                 np.asarray(b),
+                                                 rtol=2e-5, atol=1e-6)),
+        p_ref, p_sh)
+    np.testing.assert_allclose(c_ref["elbo"], c_sh["elbo"], rtol=2e-5,
+                               atol=1e-5)
+    assert np.asarray(state["rngs"]).shape[0] == R
+
+    # eval pads/slices the same way
+    Ystd = np.ones((R, 1), np.float32)
+    m_ref = ms.eval_multiseed(spec, p_ref, Xs, Ys, Ystd, S_test=20)
+    m_sh = ms.eval_multiseed(spec, p_sh, Xs, Ys, Ystd, S_test=20, mesh=mesh)
+    assert m_sh["logL"].shape == m_ref["logL"].shape
+    np.testing.assert_allclose(m_ref["logL"], m_sh["logL"], rtol=2e-5,
+                               atol=1e-5)
+
+    # minibatch path (MB < N) pads the per-chunk permutations too
+    p_mb, c_mb = ms.train_multiseed_minibatch(spec, ms.stack_trees(
+        [_init(spec, finits, X, M) for X, _ in data]), Xs, Ys, epochs=8,
+        lr=0.05, batch_size=32)
+    p_mb2, c_mb2 = ms.train_multiseed_minibatch(spec, ms.stack_trees(
+        [_init(spec, finits, X, M) for X, _ in data]), Xs, Ys, epochs=8,
+        lr=0.05, batch_size=32, mesh=mesh)
+    assert c_mb2["elbo"].shape == c_mb["elbo"].shape
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=2e-5, atol=1e-6),
+        p_mb, p_mb2)

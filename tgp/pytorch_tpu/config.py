@@ -41,6 +41,17 @@ S_test = 100
 #: reference: code/dsp/config.py:52
 config_seed = 0
 
+#: PRNG implementation for training-time stochastic draws (MC-dropout
+#: masks, MC ELLs, predictive sampling).  'threefry2x32' is jax's default —
+#: counter-based, bit-stable across backends, kept as OUR default so
+#: existing checkpoints/artifacts replay bit-exactly.  'rbg' drives the TPU
+#: hardware RNG: measured 1.33x faster per ID_TGP train step at power scale
+#: (benchmarks/id_profile.py — the ~10M bernoulli dropout draws/step stop
+#: paying the threefry bit-mix).  Draw *distributions* are identical; only
+#: the stream bits differ, which is within the documented run-to-run
+#: MC-dropout scatter (PARITY.md ID-scatter section).
+rng_impl = "threefry2x32"
+
 #: fixed jitter scale added to K_zz diagonals before Cholesky, by dtype.
 #: The reference escalates jitter on failure (code/dsp/utils.py:222-270);
 #: under jit we add a fixed dtype-scaled jitter up-front, which is the
@@ -75,6 +86,34 @@ def set_precision(mode: str) -> None:
 
 def precision() -> str:
     return _PRECISION
+
+
+def set_rng_impl(impl: str) -> None:
+    """Select the PRNG implementation for training-time draws.
+
+    'threefry2x32' (default) — raw uint32 keys, bit-stable everywhere.
+    'rbg' — TPU hardware RNG via typed keys; same distributions, different
+    stream bits, measured 1.33x on the ID_TGP train step
+    (benchmarks/id_profile.py).  Must be set before constructing a Trainer
+    or Predictor (keys are created at init time).
+    """
+    global rng_impl
+    if impl not in ("threefry2x32", "rbg"):
+        raise ValueError(f"unknown rng impl {impl!r} "
+                         "(expected 'threefry2x32' or 'rbg')")
+    rng_impl = impl
+
+
+def make_rng(seed: int):
+    """Seed a PRNG key under the configured `rng_impl`.
+
+    threefry returns the classic raw uint32 key (checkpoint/pytree layout
+    unchanged from earlier rounds); rbg returns a typed key array — both
+    flow through split/fold_in/bernoulli identically.
+    """
+    if rng_impl == "threefry2x32":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=rng_impl)
 
 
 def default_dtype():

@@ -62,7 +62,7 @@ class Predictor:
         self.buckets = tuple(sorted(buckets))
         self.S_MC = S_MC
         self.fully_bayesian = fully_bayesian
-        self._rng = jax.random.PRNGKey(seed)
+        self._rng = cfg.make_rng(seed)
 
         spec_ = spec
         fb = fully_bayesian

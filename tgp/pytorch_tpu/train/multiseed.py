@@ -104,6 +104,51 @@ def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
     return tx
 
 
+def _pad_for_mesh(mesh, R, *trees):
+    """(R_pad, trees') — append copies of the LAST replica to every leaf
+    with leading axis R so the replica count divides the mesh 'dp' axis.
+
+    device_put with a NamedSharding refuses non-divisible leading axes, and
+    the reference's canonical battery is R=10 seeds — on an 8-chip dp mesh
+    exactly the non-divisible case.  Padding clones the last replica's
+    params, data AND rng stream, so the padded trajectories are
+    bit-identical to it; callers slice every output back to the caller's R
+    (curves, states, metrics), making the pad invisible."""
+    pad = 0 if mesh is None else (-R) % int(mesh.shape.get("dp", 1))
+    if pad == 0:
+        return R, trees
+
+    def pad_leaf(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == R:
+            return jnp.concatenate([x] + [x[-1:]] * pad, axis=0)
+        return x
+
+    return R + pad, tuple(jax.tree_util.tree_map(pad_leaf, t) for t in trees)
+
+
+def _slice_replicas(R_pad, R_out, *trees):
+    """Undo `_pad_for_mesh`: slice every leaf with leading axis R_pad back
+    to the caller's R_out replicas (identity when no padding happened)."""
+    if R_pad == R_out:
+        return trees if len(trees) > 1 else trees[0]
+
+    def cut(x):
+        return x[:R_out] if (hasattr(x, "ndim") and x.ndim >= 1
+                             and x.shape[0] == R_pad) else x
+
+    out = tuple(jax.tree_util.tree_map(cut, t) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
+def _host_rngs(rngs):
+    """Carry-friendly host view of the rng stack: raw uint32 keys fetch to
+    numpy (round-2 behaviour); typed keys (cfg.set_rng_impl('rbg')) stay
+    jax arrays — np.asarray cannot represent the key dtype."""
+    return (rngs if jnp.issubdtype(rngs.dtype, jax.dtypes.prng_key)
+            else np.asarray(rngs))
+
+
 def _shard_replica_axis(mesh, R, *trees):
     """device_put each tree with its leading R (replica) axis on 'dp';
     leaves without one (scalar step counts, shared constants) replicate."""
@@ -134,7 +179,7 @@ def _resolve_carry(optimizer, params_stack, carry, R, seed, opt=None,
     resets on a kind switch for the same reason)."""
     opt_state = optimizer.init(params_stack)
     if carry is None:
-        rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+        rngs = jax.vmap(cfg.make_rng)(seed + jnp.arange(R))
         return opt_state, rngs
     for key, want in (("opt_kind", opt), ("clip_norm", clip_norm)):
         if key in carry and carry[key] != want:
@@ -193,7 +238,10 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
     opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R,
                                      seed, opt=opt, clip_norm=clip_norm)
+    R_out = R
     if mesh is not None:
+        R, (params_stack, opt_state, Xd, Yd, rngs) = _pad_for_mesh(
+            mesh, R, params_stack, opt_state, Xd, Yd, rngs)
         params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
             mesh, R, params_stack, opt_state, Xd, Yd, rngs)
 
@@ -233,9 +281,9 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
             params_stack, opt_state, Xd, Yd, rngs, n)
         prev = done
         done += n
-        curves_all["elbo"].append(np.asarray(e))
-        curves_all["ell"].append(np.asarray(ell))
-        curves_all["kld"].append(np.asarray(kld))
+        curves_all["elbo"].append(np.asarray(e)[:, :R_out])
+        curves_all["ell"].append(np.asarray(ell)[:, :R_out])
+        curves_all["kld"].append(np.asarray(kld)[:, :R_out])
         if not np.isfinite(curves_all["elbo"][-1][-1]).all():
             bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
             raise FloatingPointError(
@@ -246,12 +294,14 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
             while m <= done:
                 row = e_np[m - prev - 1]
                 print(f"| epoch {m}/{epochs}  ELBO "
-                      f"[{row.min():.3f} .. {row.max():.3f}] over {R} seeds")
+                      f"[{row.min():.3f} .. {row.max():.3f}] over {R_out} seeds")
                 m += verbose_each
     curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
+    params_stack, opt_state, rngs = _slice_replicas(
+        R, R_out, params_stack, opt_state, rngs)
     if return_state:
         return params_stack, curves, {"opt_state": opt_state,
-                                      "rngs": np.asarray(rngs),
+                                      "rngs": _host_rngs(rngs),
                                       "opt_kind": opt,
                                       "clip_norm": clip_norm}
     return params_stack, curves
@@ -295,8 +345,11 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R,
                                      seed, opt=opt, clip_norm=clip_norm)
     perm_sharding = None
+    R_out = R
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        R, (params_stack, opt_state, Xd, Yd, rngs) = _pad_for_mesh(
+            mesh, R, params_stack, opt_state, Xd, Yd, rngs)
         params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
             mesh, R, params_stack, opt_state, Xd, Yd, rngs)
         # per-chunk perms are (C, R, N): replica axis is dim 1
@@ -351,8 +404,10 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     # in the epoch loop; host-side PCG64 perms are precomputed per chunk
     # (bit-identical sequence), capped at ~32 MB of index uploads
     chunk = max(1, min((1 << 23) // max(R * N, 1), 200, epochs))
+    # shuffle generators stay per REAL replica (R_out); padded replicas
+    # reuse the last replica's permutations below, mirroring _pad_for_mesh
     gens = [np.random.Generator(np.random.PCG64(seed + 7919 * (r + 1)))
-            for r in range(R)]
+            for r in range(R_out)]
     if carry is not None and "gen_states" in carry:
         for g, st in zip(gens, carry["gen_states"]):
             g.bit_generator.state = st
@@ -364,16 +419,20 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
         n = min(chunk, epochs - done)
         perms = np.stack(
             [np.stack([g.permutation(N) for g in gens]).astype(np.int32)
-             for _ in range(n)])                            # (n, R, N)
+             for _ in range(n)])                            # (n, R_out, N)
+        if R != R_out:   # padded replicas replay the last replica's perms
+            perms = np.concatenate(
+                [perms, np.repeat(perms[:, -1:, :], R - R_out, axis=1)],
+                axis=1)
         if perm_sharding is not None:
             perms = jax.device_put(perms, perm_sharding)
         params_stack, opt_state, rngs, (e, ell, kld) = run_chunk(
             params_stack, opt_state, rngs, perms)
         prev = done
         done += n
-        curves_all["elbo"].append(np.asarray(e))
-        curves_all["ell"].append(np.asarray(ell))
-        curves_all["kld"].append(np.asarray(kld))
+        curves_all["elbo"].append(np.asarray(e)[:, :R_out])
+        curves_all["ell"].append(np.asarray(ell)[:, :R_out])
+        curves_all["kld"].append(np.asarray(kld)[:, :R_out])
         if not np.isfinite(curves_all["elbo"][-1][-1]).all():
             bad = np.where(~np.isfinite(curves_all["elbo"][-1][-1]))[0]
             raise FloatingPointError(
@@ -384,13 +443,15 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
             while m <= done:
                 row = e_np[m - prev - 1]
                 print(f"| epoch {m}/{epochs}  ELBO "
-                      f"[{row.min():.3f} .. {row.max():.3f}] over {R} seeds "
+                      f"[{row.min():.3f} .. {row.max():.3f}] over {R_out} seeds "
                       f"({(_time.time() - t0) / done * 1e3:.1f}ms/ep)")
                 m += verbose_each
     curves = {k: np.concatenate(v, axis=0) for k, v in curves_all.items()}
+    params_stack, opt_state, rngs = _slice_replicas(
+        R, R_out, params_stack, opt_state, rngs)
     if return_state:
         return params_stack, curves, {
-            "opt_state": opt_state, "rngs": np.asarray(rngs),
+            "opt_state": opt_state, "rngs": _host_rngs(rngs),
             "opt_kind": opt, "clip_norm": clip_norm,
             "gen_states": [g.bit_generator.state for g in gens]}
     return params_stack, curves
@@ -438,9 +499,12 @@ def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
         return {"logL": log_p / n, "rmse": rmse,
                 "coverage": jnp.mean(inside.astype(dtype), axis=-1)}
 
-    rngs = jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(R))
+    rngs = jax.vmap(cfg.make_rng)(seed + jnp.arange(R))
+    R_out = R
     if mesh is not None:
+        R, (params_stack, Xd, Yd, Ystd, rngs) = _pad_for_mesh(
+            mesh, R, params_stack, Xd, Yd, Ystd, rngs)
         params_stack, Xd, Yd, Ystd, rngs = _shard_replica_axis(
             mesh, R, params_stack, Xd, Yd, Ystd, rngs)
     out = jax.vmap(kernel)(params_stack, Xd, Yd, Ystd, rngs)
-    return {k: np.asarray(v) for k, v in out.items()}
+    return {k: np.asarray(v)[:R_out] for k, v in out.items()}

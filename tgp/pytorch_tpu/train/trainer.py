@@ -125,7 +125,7 @@ class Trainer:
         self.S_test = S_test
         self.validate_each = validate_each
         self.track_fn = track_fn
-        self._rng = jax.random.PRNGKey(seed)
+        self._rng = cfg.make_rng(seed)
         self.loss_curve = []   # ELBO per step (device arrays, fetched lazily)
         self.ell_curve = []
         self.kld_curve = []
@@ -632,10 +632,18 @@ class Trainer:
             pickle.dumps(self.train_loader._rng.bit_generator.state),
             np.uint8).copy()
         opt_kind = getattr(self, "_opt_state_kind", "adam")
+        # typed keys (cfg.set_rng_impl('rbg')) are stored as raw key_data +
+        # impl name so the checkpoint stays a plain-array pytree ('raw' =
+        # classic uint32 key, restored verbatim)
+        rng_leaf, rng_impl = self._rng, "raw"
+        if jnp.issubdtype(rng_leaf.dtype, jax.dtypes.prng_key):
+            rng_impl = str(jax.random.key_impl(rng_leaf))
+            rng_leaf = jax.random.key_data(rng_leaf)
         return save_checkpoint(
             path, self.params, step=len(self.loss_curve) if step is None else step,
             opt_state=getattr(self, "_opt_state_carry", None),
-            extra={"rng": self._rng,
+            extra={"rng": rng_leaf,
+                   "rng_impl": np.frombuffer(rng_impl.encode(), np.uint8).copy(),
                    "fully_bayesian": np.asarray(self.fully_bayesian),
                    "loader_state": loader_state,
                    "opt_kind": np.frombuffer(opt_kind.encode(), np.uint8).copy()},
@@ -648,7 +656,11 @@ class Trainer:
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         if opt_state is not None:
             self._opt_state_carry = opt_state
-        self._rng = jnp.asarray(extra["rng"])
+        rng_impl = (bytes(np.asarray(extra["rng_impl"])).decode()
+                    if "rng_impl" in extra else "raw")
+        self._rng = (jnp.asarray(extra["rng"]) if rng_impl == "raw"
+                     else jax.random.wrap_key_data(jnp.asarray(extra["rng"]),
+                                                   impl=rng_impl))
         self.fully_bayesian = bool(extra["fully_bayesian"])
         if "loader_state" in extra:
             import pickle
