@@ -169,11 +169,17 @@ def bench_torch(X, Y, M=100, steps=8, warmup=2):
     return steps / (time.perf_counter() - t0)
 
 
-def _default_platform_alive(timeout_s: float = 120.0) -> bool:
+# Most recent TPU-measured figure for this exact config (v5e single chip,
+# PARITY.md "Throughput", round 3).  Only used to annotate a CPU fallback so
+# the scoreboard record is self-explanatory — never reported as `value`.
+LAST_KNOWN_GOOD_TPU = 1791.0
+
+
+def _probe_platform_once(timeout_s: float) -> bool:
     """Probe the default jax platform in a SUBPROCESS with a timeout.
 
     The remote TPU tunnel can wedge (clients block forever in their first
-    RPC — observed for 30+ min); a hung bench.py would cost the driver its
+    RPC — observed for 30-45 min); a hung bench.py would cost the driver its
     whole budget.  The probe runs out-of-process so a hang cannot poison
     this process's backend state."""
     import subprocess
@@ -189,14 +195,44 @@ def _default_platform_alive(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _default_platform_alive(probe_timeout_s: float = 150.0,
+                            retry_sleep_s: float = 120.0,
+                            budget_s: float = 1500.0) -> tuple[bool, int]:
+    """Bounded retry loop around the platform probe.
+
+    Observed tunnel wedges clear within 30-45 minutes; a single probe
+    (round 3) permanently fell back to CPU and recorded a 126x-understated
+    scoreboard number.  Retry every ~2 min within a ~25 min budget so a
+    wedged-then-recovered tunnel still yields a TPU measurement, while a
+    genuinely dead platform costs a bounded slice of the driver's budget.
+    Returns (alive, attempts_used)."""
+    deadline = time.monotonic() + budget_s
+    attempts = 0
+    while True:
+        attempts += 1
+        if _probe_platform_once(probe_timeout_s):
+            return True, attempts
+        if time.monotonic() + retry_sleep_s + probe_timeout_s > deadline:
+            return False, attempts
+        time.sleep(retry_sleep_s)
+
+
 def main():
     X, Y = _load_power()
     platform_note = ""
-    if not _default_platform_alive():
-        # fall back to CPU rather than hanging the round's benchmark
+    alive, attempts = _default_platform_alive()
+    if not alive:
+        # fall back to CPU rather than hanging the round's benchmark; embed
+        # the retry count and the last-known-good TPU figure so the record
+        # explains itself instead of silently understating the build
         import jax
         jax.config.update("jax_platforms", "cpu")
-        platform_note = " [DEFAULT PLATFORM UNRESPONSIVE - CPU FALLBACK]"
+        platform_note = (
+            f" [DEFAULT PLATFORM UNRESPONSIVE after {attempts} probes over "
+            f"~25 min - CPU FALLBACK; last known good TPU figure for this "
+            f"config: {LAST_KNOWN_GOOD_TPU} steps/sec (PARITY.md)]")
+    elif attempts > 1:
+        platform_note = f" [tunnel recovered after {attempts} probes]"
     ours = bench_jax(X, Y)
     # Idle-host reference for the torch denominator (measured on this host
     # with nothing else running, round 2: 1699.909 steps/s at vs_baseline
