@@ -542,7 +542,15 @@ def elbo(spec: TGPSpec, params, X, Y, rng: Optional[jax.Array] = None):
     kl_flow = flows_kld(spec, params)
 
     lik = spec.likelihood
-    warp = _make_warp(spec, params, X3, rng, stochastic=True, train=True)
+    rng_warp = rng
+    if lik.kind == "categorical" and rng is not None and spec.has_stochastic_flow:
+        # keep the per-output dropout/VI keys (split(rng_warp, Dy) inside
+        # _make_warp) disjoint from the MC-draw key (split(rng)[1] below):
+        # split(k, 2)[1] == split(k, Dy)[1], so sharing the base key would
+        # reuse output-1's dropout key as the ELL's reparameterization key.
+        # fold_in leaves every non-ID trajectory bit-identical.
+        rng_warp = jax.random.fold_in(rng, 7919)
+    warp = _make_warp(spec, params, X3, rng_warp, stochastic=True, train=True)
     if spec.remat and spec.has_flow:
         inner_warp = warp
         warp = lambda f: jax.checkpoint(inner_warp)(f)

@@ -100,6 +100,55 @@ def bcl_al_flow():
     ])
 
 
+def id_sal_flow(Dx, task):
+    """SAL(1) with input-dependent MC-dropout hypernets on a,b — the
+    reference's classification ID grid (SP_SAL_1_blocks input_dependent,
+    launch_test_uci_medium-small_classification.sh:76-151; hypernet flows
+    flow.py:836-887).  Binary = the heart row (tanh/1-hidden/DR 0.5/width
+    25), categorical = the activity row (tanh/1-hidden/DR 0.75/width 25)."""
+    dr = 0.5 if task == "binary" else 0.75
+    hyper = (Dx, 25, 1, dr, "tanh")
+    return CompositeFlow([
+        SinhArcsinhFlow(0.0, 1.0, False, hyper=hyper),
+        AffineFlow(1.0, 0.0, False),
+    ])
+
+
+def fit_class_hypernets_to_identity(flows, X_tr, epochs=2000, lr=0.01):
+    """Hypernet anchor-fit (initializers.py:111-182) on the FIRST flow,
+    then copy the fitted nets into every class flow — the framework's
+    shared-init convention (init_tgp_params stacks identical flow_inits
+    per output; experiments main.py:172-182 fits output 0 and stacks)."""
+    f0 = flows[0]
+    nnet_params = [p for n, p in f0.named_parameters() if "NNets" in n]
+    opt = torch.optim.Adam(nnet_params, lr=lr)
+    f0.train()
+    loss = torch.zeros(())
+    for _ in range(epochs):
+        loss = 0.0
+        for fl in f0.flows:
+            if isinstance(fl, SinhArcsinhFlow) and fl.hyper is not None:
+                a = fl.NNets_a(X_tr).squeeze(-1)
+                b = fl.NNets_b(X_tr).squeeze(-1)
+                loss = loss + ((a - fl.anchor_a) ** 2).mean() \
+                            + ((b - fl.anchor_b) ** 2).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    sd = f0.state_dict()
+    for fl in flows[1:]:
+        fl.load_state_dict(sd)
+    return float(loss)
+
+
+def enable_eval_dropout(module):
+    """utils_models.py:358-364: re-enable Dropout modules inside eval mode
+    (the MC-dropout 'fully Bayesian' evaluation switch)."""
+    for m in module.modules():
+        if isinstance(m, nn.Dropout):
+            m.train()
+
+
 class SparseClassTGP(nn.Module):
     """Dy-output whitened sparse TGP with a classification likelihood.
 
@@ -168,21 +217,23 @@ class SparseClassTGP(nn.Module):
         trace = (L_q ** 2).sum()
         return 0.5 * (-log_det + dot_mean + trace - float(self.Dy * self.M))
 
-    def warp(self, f):
-        """Apply the per-class flow along the class axis of (..., Dy, MB)."""
-        out = [self.flows[d](f[..., d, :]) for d in range(self.Dy)]
+    def warp(self, f, X=None):
+        """Apply the per-class flow along the class axis of (..., Dy, MB).
+        X (MB, Dx) feeds input-dependent hypernet flows; their (MB,) outputs
+        broadcast over the quadrature/MC axis (flow.py:939-965)."""
+        out = [self.flows[d](f[..., d, :], X) for d in range(self.Dy)]
         return torch.stack(out, dim=-2)
 
     ## -------------------- Bernoulli (Dy == 1) -------------------------- ##
 
-    def bernoulli_ell(self, Y, mu_qf, cov_qf):
+    def bernoulli_ell(self, Y, mu_qf, cov_qf, X=None):
         """Bernoulli.py:50-95: quadrature of -BCE(Phi(G(f0)), y) with the
         correct per-point width sqrt(cov) (Bernoulli.py:77-79, including
         the negative-covariance clamp)."""
         cov = cov_qf.clamp_min(0.0)
         f = (math.sqrt(2.0) * torch.sqrt(cov).unsqueeze(0)
              * self.quad_x.view(-1, 1, 1) + mu_qf.unsqueeze(0))  # (S,1,MB)
-        fk = self.warp(f)
+        fk = self.warp(f, X)
         yk = torch.special.ndtr(fk)                          # Phi link
         Yt = Y.t().unsqueeze(0)
         bce = nn.functional.binary_cross_entropy(
@@ -191,11 +242,13 @@ class SparseClassTGP(nn.Module):
         return ell.sum()
 
     @torch.no_grad()
-    def bernoulli_probs(self, X, ref_bug=False):
+    def bernoulli_probs(self, X, ref_bug=False, bayes_S=None):
         """p(y=1|x) by quadrature of Phi(G(f)) with [0,1] clamping
         (Bernoulli.py:140-157).  ref_bug=True reproduces the reference's
         literal `gauss_cov.std()` scalar quadrature width
-        (Bernoulli.py:141-142) instead of the correct per-point sqrt."""
+        (Bernoulli.py:141-142) instead of the correct per-point sqrt.
+        bayes_S=S averages S MC-dropout evaluations of the warp (the BA
+        re-evaluation, sparse_MF_SP.py:499-528 + main.py:308-322)."""
         self.eval()
         mu, cov = self.marginal_qf(X)
         if ref_bug:
@@ -204,14 +257,20 @@ class SparseClassTGP(nn.Module):
             std = torch.sqrt(cov.clamp_min(0.0))
         f = (math.sqrt(2.0) * std.unsqueeze(0)
              * self.quad_x.view(-1, 1, 1) + mu.unsqueeze(0))
-        p = (self.quad_w.view(-1, 1, 1) * torch.special.ndtr(self.warp(f))
-             ).sum(0) / SQRT_PI
+        if bayes_S:
+            enable_eval_dropout(self)
+            p = sum((self.quad_w.view(-1, 1, 1)
+                     * torch.special.ndtr(self.warp(f, X))).sum(0) / SQRT_PI
+                    for _ in range(bayes_S)) / bayes_S
+        else:
+            p = (self.quad_w.view(-1, 1, 1)
+                 * torch.special.ndtr(self.warp(f, X))).sum(0) / SQRT_PI
         self.train()
         return p.clamp(0.0, 1.0).squeeze(0)                  # (MB,)
 
     ## -------------------- Categorical (Dy == C) ------------------------ ##
 
-    def categorical_ell(self, Y, mu_qf, cov_qf, S, eps=None):
+    def categorical_ell(self, Y, mu_qf, cov_qf, S, eps=None, X=None):
         """MulticlassCategorical.py:51-105: S reparameterized draws from
         q(f), per-class warps, mean-over-samples softmax log-likelihood.
         eps overrides the MC draws (the shared-draw equivalence test)."""
@@ -219,7 +278,7 @@ class SparseClassTGP(nn.Module):
         if eps is None:
             eps = torch.randn(S, C, MB)
         f0 = mu_qf.unsqueeze(0) + torch.sqrt(cov_qf.clamp_min(0.0)).unsqueeze(0) * eps
-        fk = self.warp(f0)                                   # (S,C,MB)
+        fk = self.warp(f0, X)                                # (S,C,MB)
         logits = fk.permute(0, 2, 1)                         # (S,MB,C)
         logp = torch.log_softmax(logits, dim=-1)
         idx = Y.view(1, MB, 1).long().expand(S, MB, 1)
@@ -227,16 +286,24 @@ class SparseClassTGP(nn.Module):
         return ll.mean(0).sum()
 
     @torch.no_grad()
-    def categorical_probs(self, X, S):
-        """MulticlassCategorical.py:109-151: MC softmax mean."""
+    def categorical_probs(self, X, S, bayes_S=None):
+        """MulticlassCategorical.py:109-151: MC softmax mean; bayes_S
+        additionally averages over S MC-dropout warp evaluations."""
         self.eval()
         mu, cov = self.marginal_qf(X)
         C, MB = mu.shape
         eps = torch.randn(S, C, MB)
         f0 = mu.unsqueeze(0) + torch.sqrt(cov.clamp_min(0.0)).unsqueeze(0) * eps
-        logits = self.warp(f0).permute(0, 2, 1)
+        if bayes_S:
+            enable_eval_dropout(self)
+            probs = sum(torch.softmax(self.warp(f0, X).permute(0, 2, 1),
+                                      dim=-1).mean(0)
+                        for _ in range(bayes_S)) / bayes_S
+        else:
+            probs = torch.softmax(self.warp(f0, X).permute(0, 2, 1),
+                                  dim=-1).mean(0)
         self.train()
-        return torch.softmax(logits, dim=-1).mean(0)         # (MB,C)
+        return probs                                         # (MB,C)
 
 
 def calibration_measures(probs, labels, bins=15):
@@ -269,7 +336,10 @@ def run(args):
         C, Dy = 2, 1
         quad = 50
         np.random.seed(0)
-        flows = [sal_invbcl_flow()]
+        if args.model == "ID_TGP":
+            flows = [id_sal_flow(Dx, "binary")]
+        else:
+            flows = [sal_invbcl_flow()]
     else:
         W = rng.randn(Dx, 3)
         scores = np.tanh(X @ W) + 0.3 * rng.randn(N, 3)
@@ -277,10 +347,12 @@ def run(args):
         C, Dy = 3, 3
         quad = 32
         np.random.seed(0)
-        inits = bcl_al_flow().state_dict()
+        mk = ((lambda: id_sal_flow(Dx, "categorical"))
+              if args.model == "ID_TGP" else bcl_al_flow)
+        inits = mk().state_dict()
         flows = []
         for _ in range(3):  # identical per-class inits (init_tgp_params
-            fl = bcl_al_flow()  # stacks the same flow_inits on every output)
+            fl = mk()       # stacks the same flow_inits on every output)
             fl.load_state_dict(inits)
             flows.append(fl)
 
@@ -292,6 +364,15 @@ def run(args):
                 random_state=0).fit(X[:n_tr])
     model = SparseClassTGP(Dy, Dx, 50, n_tr, km.cluster_centers_, flows, quad)
 
+    t_init = 0.0
+    if args.model == "ID_TGP":
+        t_i0 = time.time()
+        init_loss = fit_class_hypernets_to_identity(flows, Xtr,
+                                                    epochs=args.init_epochs)
+        t_init = time.time() - t_i0
+        print(f"hypernet anchor-fit loss {init_loss:.3e} in {t_init:.1f}s",
+              flush=True)
+
     # two-phase kernel-hold schedule ([[0.0,'kernel']], None): phase 1
     # excludes the kernel hyperparameters entirely (lr=0 -> inactive in
     # train/group_adam.py); phase 2 re-activates them with fresh moments —
@@ -299,8 +380,16 @@ def run(args):
     # reproduces (trainer.py:577-624)
     kern = model.kernel_parameters()
     kern_ids = {id(p) for p in kern}
-    rest = [p for p in model.parameters() if id(p) not in kern_ids]
-    opt = torch.optim.Adam([{"params": rest, "lr": 0.01}])
+    nnets = [p for n, p in model.named_parameters()
+             if "NNets" in n and id(p) not in kern_ids]
+    nnet_ids = {id(p) for p in nnets}
+    rest = [p for p in model.parameters()
+            if id(p) not in kern_ids and id(p) not in nnet_ids]
+    groups = [{"params": rest, "lr": 0.01}]
+    if nnets:
+        # wd 1e-5 on the hypernets only (reference: main.py:274-288)
+        groups.append({"params": nnets, "lr": 0.01, "weight_decay": 1e-5})
+    opt = torch.optim.Adam(groups)
     hold = min(2000, args.epochs // 3)
 
     out = open(args.out, "a")
@@ -310,9 +399,9 @@ def run(args):
             opt.add_param_group({"params": kern, "lr": 0.01})
         mu, cov = model.marginal_qf(Xtr)
         if args.task == "binary":
-            ell = model.bernoulli_ell(ytr, mu, cov)
+            ell = model.bernoulli_ell(ytr, mu, cov, X=Xtr)
         else:
-            ell = model.categorical_ell(ytr, mu, cov, quad)
+            ell = model.categorical_ell(ytr, mu, cov, quad, X=Xtr)
         elbo = ell * (model.N / Xtr.shape[0]) - model.kld()
         loss = -elbo
         # model-wide zero_grad, NOT opt.zero_grad(): during the hold phase
@@ -334,19 +423,35 @@ def run(args):
     train_s = time.time() - t0
 
     if args.task == "binary":
-        p1 = model.bernoulli_probs(Xte).numpy()
+        p1 = model.bernoulli_probs(Xte, bayes_S=None).numpy()
         probs = np.stack([1.0 - p1, p1], axis=1)
     else:
         probs = model.categorical_probs(Xte, quad).numpy()
     m = calibration_measures(probs, yte.numpy().reshape(-1))
-    rec = {"task": args.task, "classes": C, "epochs": args.epochs,
+    rec = {"task": args.task, "model": args.model, "classes": C,
+           "epochs": args.epochs,
            "final": True, "test_acc": round(m["acc"], 4),
            "test_nll": round(m["nll"], 4), "ECE": round(m["ECE"], 4),
-           "train_wall_s": round(train_s, 1),
+           "train_wall_s": round(train_s, 1), "init_wall_s": round(t_init, 1),
            "torch_seed": args.torch_seed}
+    if args.model == "ID_TGP":
+        rec["eval"] = "PE"
     out.write(json.dumps(rec) + "\n")
     print(rec, flush=True)
-    if args.task == "binary":
+    if args.model == "ID_TGP":
+        # BA re-evaluation: S_MC=50 MC-dropout warp draws averaged
+        # (main.py:308-322; the framework's Trainer uses S_MC=S_test=50)
+        if args.task == "binary":
+            p1 = model.bernoulli_probs(Xte, bayes_S=50).numpy()
+            probs = np.stack([1.0 - p1, p1], axis=1)
+        else:
+            probs = model.categorical_probs(Xte, quad, bayes_S=50).numpy()
+        mba = calibration_measures(probs, yte.numpy().reshape(-1))
+        recba = dict(rec, eval="BA", test_acc=round(mba["acc"], 4),
+                     test_nll=round(mba["nll"], 4), ECE=round(mba["ECE"], 4))
+        out.write(json.dumps(recba) + "\n")
+        print(recba, flush=True)
+    if args.task == "binary" and args.model != "ID_TGP":
         p1b = model.bernoulli_probs(Xte, ref_bug=True).numpy()
         mb = calibration_measures(np.stack([1.0 - p1b, p1b], 1),
                                   yte.numpy().reshape(-1))
@@ -361,7 +466,9 @@ def run(args):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--task", required=True, choices=["binary", "categorical"])
+    p.add_argument("--model", default="TGP", choices=["TGP", "ID_TGP"])
     p.add_argument("--epochs", type=int, default=15000)
+    p.add_argument("--init_epochs", type=int, default=2000)
     p.add_argument("--log_each", type=int, default=1000)
     p.add_argument("--torch_seed", type=int, default=0)
     p.add_argument("--out", default="results_torch_replica.jsonl")
