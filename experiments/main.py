@@ -35,6 +35,13 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--batch_size", type=int, default=10000)
     p.add_argument("--precision", default="fp64", choices=["fp64", "fp32", "bf16"])
+    p.add_argument("--nnet_inference", default=None,
+                   choices=[None, "MC_dropout", "mean_field_gaussian"],
+                   help="override the ID_TGP hypernet inference mode "
+                        "(default: the validated table's MC_dropout; "
+                        "mean_field_gaussian = BNN_VILR local-reparam VI "
+                        "with the flow KLD in the ELBO, reference: "
+                        "code/dsp/models/BNN_VILR.py:10-92, flow.py:696-714)")
     p.add_argument("--rng_impl", default="threefry2x32",
                    choices=["threefry2x32", "rbg"],
                    help="training-draw PRNG; rbg = TPU hardware RNG, "
@@ -109,6 +116,10 @@ def run(args):
 
     # ---- flow architecture (main.py:150-208) -----------------------------
     hp = return_hyperparams(args.model, args.dataset)
+    if args.nnet_inference and args.model == "ID_TGP":
+        hp["flow_inference"] = args.nnet_inference
+        if args.nnet_inference == "mean_field_gaussian":
+            hp["flow_DR"] = 0.0   # VI nets have no dropout (BNN_VILR.py:55)
     flow_input_dependent = args.model == "ID_TGP"
     flow_kwargs = dict(
         input_dependent=flow_input_dependent, input_dim=Dx,

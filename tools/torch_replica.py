@@ -108,10 +108,13 @@ class AffineFlow(nn.Module):
 
 class SinhArcsinhFlow(nn.Module):
     """fk = sinh(b*asinh(f0) - a), flow.py:965.  Optional input-dependent
-    a,b via MLP hypernets with dropout (flow.py:836-887,936-961)."""
+    a,b via MLP hypernets with dropout (flow.py:836-887,936-961), or via
+    mean-field-Gaussian VI BNNs with local reparameterization
+    (inference='vi'; reference: code/dsp/models/BNN_VILR.py:10-92,
+    selected at flow.py:696-714)."""
 
     def __init__(self, init_a=0.0, init_b=1.0, set_restrictions=False,
-                 hyper=None):
+                 hyper=None, inference="MC_dropout"):
         super().__init__()
         self.set_restrictions = set_restrictions
         self.hyper = hyper
@@ -120,8 +123,12 @@ class SinhArcsinhFlow(nn.Module):
             self.b = nn.Parameter(torch.tensor(float(init_b)))
         else:
             din, H, L, p, act = hyper
-            self.NNets_a = make_mlp(din, H, L, p, act)
-            self.NNets_b = make_mlp(din, H, L, p, act)
+            if inference == "vi":
+                self.NNets_a = VIMLP(din, H, L, act)
+                self.NNets_b = VIMLP(din, H, L, act)
+            else:
+                self.NNets_a = make_mlp(din, H, L, p, act)
+                self.NNets_b = make_mlp(din, H, L, p, act)
             # scalar anchors used only by the initializer (flow.py:794-815);
             # turned off (excluded from the optimizer) afterwards.
             self.anchor_a = torch.tensor(float(init_a))
@@ -137,6 +144,15 @@ class SinhArcsinhFlow(nn.Module):
             b = softplus(b)
         return torch.sinh(b * torch.asinh(f0) - a)
 
+    def KLD(self):
+        """flow.py:979-988: sum of the hypernets' VI KLDs (0 otherwise)."""
+        total = torch.zeros(())
+        for net in (getattr(self, "NNets_a", None),
+                    getattr(self, "NNets_b", None)):
+            if isinstance(net, VIMLP):
+                total = total + net.kld()
+        return total
+
 
 def make_mlp(din, hidden, n_hidden_layers, dropout, act):
     """pytorchlib.apply_linear block stack used by the reference hypernets
@@ -150,6 +166,69 @@ def make_mlp(din, hidden, n_hidden_layers, dropout, act):
     return nn.Sequential(*layers)
 
 
+class VILinear(nn.Module):
+    """Mean-field Gaussian VI linear layer with the LOCAL reparameterization
+    trick: sample the activation, not the weights (reference:
+    code/dsp/models/BNN_VILR.py:10-42).  Init matches the framework's
+    hypernet.init_hypernet VI branch (means ~ N(0,1), logvars ~ -1e-20 *
+    |N(0,1)|-scale, i.e. var ~= 1 at init, BNN_VILR.py:20-23)."""
+
+    def __init__(self, din, dout, prior_var=1.0):
+        super().__init__()
+        self.w_mean = nn.Parameter(torch.randn(din, dout))
+        self.w_logvar = nn.Parameter(torch.randn(din, dout) * -1e-20)
+        self.b_mean = nn.Parameter(torch.randn(dout))
+        self.b_logvar = nn.Parameter(torch.randn(dout) * -1e-20)
+        self.prior_var = float(prior_var)
+
+    def forward(self, x, sample=True):
+        mu = x @ self.w_mean + self.b_mean
+        if not sample:
+            return mu
+        var = (x ** 2) @ torch.exp(self.w_logvar) + torch.exp(self.b_logvar)
+        return mu + torch.randn_like(var) * torch.sqrt(var)
+
+    def kld(self):
+        """GAUSS_KLD against N(0, prior_var) (BNN_VILR.py:77-83)."""
+        p_lv = math.log(self.prior_var)
+        total = torch.zeros(())
+        for m, lv in ((self.w_mean, self.w_logvar),
+                      (self.b_mean, self.b_logvar)):
+            total = total + 0.5 * torch.sum(
+                -1.0 + p_lv - lv + torch.exp(lv) / self.prior_var
+                + m ** 2 / self.prior_var)
+        return total
+
+
+class VIMLP(nn.Module):
+    """Stack of VILinear layers with activations between (and sampling at
+    every layer including the last — the framework's apply_hypernet VI
+    path; reference BNN_VILR.py:47-76)."""
+
+    def __init__(self, din, hidden, n_hidden_layers, act, prior_var=1.0):
+        super().__init__()
+        acts = {"relu": torch.relu, "tanh": torch.tanh}
+        self.act = acts[act]
+        dims, d = [], din
+        for _ in range(n_hidden_layers):
+            dims.append((d, hidden))
+            d = hidden
+        dims.append((d, 1))
+        self.layers = nn.ModuleList(
+            [VILinear(a, b, prior_var) for a, b in dims])
+        self.sample = True
+
+    def forward(self, x):
+        n = len(self.layers)
+        for i, layer in enumerate(self.layers):
+            s = layer(x, sample=self.sample)
+            x = s if i == n - 1 else self.act(s)
+        return x
+
+    def kld(self):
+        return sum(layer.kld() for layer in self.layers)
+
+
 class CompositeFlow(nn.Module):
     def __init__(self, flows):
         super().__init__()
@@ -160,14 +239,34 @@ class CompositeFlow(nn.Module):
             f = fl(f, X)
         return f
 
+    def KLD(self):
+        """Sum of member-flow KLDs (non-zero only for VI hypernet flows;
+        reference: sparse_MF_SP.py:573-576)."""
+        total = torch.zeros(())
+        for fl in self.flows:
+            if hasattr(fl, "KLD"):
+                total = total + fl.KLD()
+        return total
 
-def sal_flow(num_blocks, hyper=None):
+
+def sal_flow(num_blocks, hyper=None, inference="MC_dropout"):
     """flows.py:115-136: identity at init (sal a=0,b=1; affine a=1,b=0)."""
     flows = []
     for _ in range(num_blocks):
-        flows.append(SinhArcsinhFlow(0.0, 1.0, False, hyper=hyper))
+        flows.append(SinhArcsinhFlow(0.0, 1.0, False, hyper=hyper,
+                                     inference=inference))
         flows.append(AffineFlow(1.0, 0.0, False))
     return CompositeFlow(flows)
+
+
+def set_vi_sampling(model, flag: bool):
+    """Toggle weight sampling of every VI hypernet (the VI analogue of
+    enable_eval_dropout: PE evaluation uses the deterministic mean path,
+    BA evaluation samples — matching the framework's apply_hypernet
+    stochastic flag; reference BNN_VILR.py:37-38 mean path)."""
+    for m in model.modules():
+        if isinstance(m, VIMLP):
+            m.sample = flag
 
 
 class TanhFlow(nn.Module):
@@ -442,8 +541,13 @@ class SparseTGP(nn.Module):
         return ell.sum()
 
     def elbo(self, X, Y):
+        set_vi_sampling(self, True)   # training always samples (local reparam)
         mu_qf, cov_qf = self.marginal_qf(X)
         kld = self.kld()
+        if self.flow is not None and hasattr(self.flow, "KLD"):
+            # flow KLD term: non-zero only for VI hypernet flows
+            # (sparse_MF_SP.py:573-576)
+            kld = kld + self.flow.KLD()
         MB = Y.shape[0]
         ell = self.N / MB * self.ell(X, Y, mu_qf, cov_qf)
         return ell - kld, ell, kld
@@ -454,6 +558,7 @@ class SparseTGP(nn.Module):
     def test_log_likelihood(self, X, Y, Y_std, S_MC=1, bayesian=False):
         """sparse_MF_SP.py:637-776. Returns (sum log p(y), m1, m2)."""
         self.eval()
+        set_vi_sampling(self, bayesian)
         if bayesian:
             enable_eval_dropout(self)
         MB = X.shape[0]
@@ -501,6 +606,7 @@ class SparseTGP(nn.Module):
     def sample_predictive(self, X, S, bayesian=False):
         """sparse_MF_SP.py:886-992: reparam sample, warp, add noise."""
         self.eval()
+        set_vi_sampling(self, bayesian)
         if bayesian:
             enable_eval_dropout(self)
         N = X.shape[0]
@@ -647,7 +753,7 @@ def run(args):
                 "boston": (1, "tanh", 1, 0.5, 25)}  # exp_config.py:4-27
         nb, act, n_layers, dr, hdim = cfgs[args.dataset]
         hyper = (Dx, hdim, n_layers, dr, act)
-        flow = sal_flow(nb, hyper=hyper)
+        flow = sal_flow(nb, hyper=hyper, inference=args.inference)
     else:
         raise SystemExit(f"unknown model {args.model}")
 
@@ -748,6 +854,8 @@ def run(args):
            "steps_per_sec": sps, "train_wall_s": train_time,
            "init_wall_s": t_init, "torch_seed": args.torch_seed,
            "torch_threads": torch.get_num_threads()}
+    if args.model == "ID_TGP":
+        rec["inference"] = args.inference
     out.write(json.dumps(rec) + "\n")
     print(rec, flush=True)
     if args.model == "ID_TGP":    # BA evaluation, main.py:308-322
@@ -772,6 +880,10 @@ if __name__ == "__main__":
     p.add_argument("--split", type=int, default=1)
     p.add_argument("--num_inducing", type=int, required=True)
     p.add_argument("--epochs", type=int, default=15000)
+    p.add_argument("--inference", default="MC_dropout",
+                   choices=["MC_dropout", "vi"],
+                   help="ID_TGP hypernet inference: MC-dropout MLPs or "
+                        "mean-field-Gaussian VI BNNs (BNN_VILR)")
     p.add_argument("--init_epochs", type=int, default=2000)
     p.add_argument("--log_each", type=int, default=250)
     p.add_argument("--torch_seed", type=int, default=0,
