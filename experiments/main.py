@@ -26,7 +26,13 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TGP on TPU (JAX)")
-    p.add_argument("--model", required=True, choices=["SVGP", "TGP", "ID_TGP"])
+    p.add_argument("--model", required=True,
+                   choices=["SVGP", "TGP", "ID_TGP", "WGP"],
+                   help="WGP = warped-GP likelihood (Snelson): a learnable "
+                        "SAL(1) observation warp T with N(T(y)|f,s2)|dT/dy| "
+                        "(reference: code/dsp/likelihoods/"
+                        "WarpedGaussianLinearMean.py — implemented there but "
+                        "never wired to an entrypoint)")
     p.add_argument("--dataset", required=True)
     p.add_argument("--train_test_seed_split", required=True, type=int)
     p.add_argument("--num_inducing", required=True, type=int)
@@ -115,7 +121,8 @@ def run(args):
                         seed=cfg.config_seed)
 
     # ---- flow architecture (main.py:150-208) -----------------------------
-    hp = return_hyperparams(args.model, args.dataset)
+    hp = return_hyperparams("SVGP" if args.model == "WGP" else args.model,
+                            args.dataset)
     if args.nnet_inference and args.model == "ID_TGP":
         hp["flow_inference"] = args.nnet_inference
         if args.nnet_inference == "mean_field_gaussian":
@@ -159,6 +166,12 @@ def run(args):
     # ---- likelihood / kernel / model (main.py:210-263) -------------------
     if args.model == "SVGP":
         lik = LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
+    elif args.model == "WGP":
+        # learnable SAL(1) observation warp, identity at init
+        np.random.seed(cfg.config_seed)
+        wspec, _ = spec_from_list(G.SAL(1))
+        lik = LikelihoodSpec("warped", Dy, noise_is_shared=False,
+                             quad_points=cfg.quad_points, warp_flow=wspec)
     else:
         lik = LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
                              quad_points=cfg.quad_points)
@@ -173,8 +186,8 @@ def run(args):
         kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
                      "noisy_variance": 1e-6},
         noise_init=0.05,
-        flow_inits=(None if args.model == "SVGP" or flow_params0 is not None
-                    else flow_inits),
+        flow_inits=(None if args.model in ("SVGP", "WGP")
+                    or flow_params0 is not None else flow_inits),
     )
     if flow_params0 is not None:
         import jax.tree_util as jtu

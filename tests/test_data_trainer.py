@@ -162,3 +162,30 @@ def test_boston_svgp_converges_toward_reference():
     m = tr.compute_metrics()
     assert -m["test"]["logL"][0] < 3.1
     assert m["test"]["rmse"][0] < 4.8
+
+
+def test_boston_tgp_flows_converges_toward_reference():
+    # TGP acceptance gate (VERDICT r3 item 6): the quadrature/flow ELBO
+    # path (SAL x2 marginal flow through the GH Gaussian-flow ELL) gets the
+    # same default-suite NLL-ceiling treatment as the SVGP gate above —
+    # ~30 s CPU; a regression in the flow warp, quadrature constants, or
+    # the N/MB ELL scaling fails plain pytest.  Oracle: README.md:67
+    # (TGP M=5 NLL 2.861 / RMSE 4.228 at the full 15000-epoch protocol).
+    loaders, dc = return_dataset("boston", 10000, None, seed=1)
+    Z0 = kmeans_centers(dc["X_tr"], 5, n_init=10)
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(2))
+    spec = M.TGPSpec(Dy=1, Dx=dc["Dx"], M=5, N=float(dc["N_tr"]),
+                     kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                               quad_points=50),
+                     flow=fspec)
+    params = M.init_tgp_params(spec, dc["X_tr"], Z0, variance_scale=1e-5,
+                               kernel_init={"length_scale": 2.0,
+                                            "kernel_scale": 2.0},
+                               noise_init=0.05, flow_inits=finits)
+    tr = Trainer(spec, params, loaders, dc["Y_std"], S_test=50)
+    tr.train(1500, 0.01, "adam", verbose_each=0)
+    m = tr.compute_metrics()
+    assert -m["test"]["logL"][0] < 3.1, m["test"]
+    assert m["test"]["rmse"][0] < 4.8, m["test"]

@@ -105,6 +105,10 @@ class AffineFlow(nn.Module):
         a = softplus(self.a) if self.set_restrictions else self.a
         return a * f0 + self.b
 
+    def inverse(self, fk):
+        a = softplus(self.a) if self.set_restrictions else self.a
+        return (fk - self.b) / a
+
 
 class SinhArcsinhFlow(nn.Module):
     """fk = sinh(b*asinh(f0) - a), flow.py:965.  Optional input-dependent
@@ -152,6 +156,12 @@ class SinhArcsinhFlow(nn.Module):
             if isinstance(net, VIMLP):
                 total = total + net.kld()
         return total
+
+    def inverse(self, fk):
+        """f0 = sinh((asinh(fk) + a) / b) (point-estimate flows only)."""
+        assert self.hyper is None
+        b = softplus(self.b) if self.set_restrictions else self.b
+        return torch.sinh((torch.asinh(fk) + self.a) / b)
 
 
 def make_mlp(din, hidden, n_hidden_layers, dropout, act):
@@ -247,6 +257,12 @@ class CompositeFlow(nn.Module):
             if hasattr(fl, "KLD"):
                 total = total + fl.KLD()
         return total
+
+    def inverse(self, fk):
+        """Invert members in reverse order (flow.py:169-173)."""
+        for fl in reversed(self.flows):
+            fk = fl.inverse(fk)
+        return fk
 
 
 def sal_flow(num_blocks, hyper=None, inference="MC_dropout"):
@@ -468,9 +484,13 @@ class SparseTGP(nn.Module):
 
     def __init__(self, Dx, M, N, init_Z, flow, quad_points=100,
                  noise_init=0.05, ls_init=2.0, ks_init=2.0,
-                 var_scale=1e-5, mean_scale=0.0):
+                 var_scale=1e-5, mean_scale=0.0, obs_warp=None):
         super().__init__()
         self.M, self.N = M, float(N)
+        # warped-GP likelihood: learnable observation warp T applied to Y
+        # (WarpedGaussianLinearMean.py:26-42); mutually exclusive with a
+        # process flow in the replica arms we run
+        self.obs_warp = obs_warp
         self.Z = nn.Parameter(torch.tensor(init_Z).view(1, M, Dx))
         self.raw_ls = nn.Parameter(inv_softplus(ls_init) * torch.ones(1, 1, Dx))
         self.raw_ks = nn.Parameter(inv_softplus(ks_init) * torch.ones(1))
@@ -529,6 +549,15 @@ class SparseTGP(nn.Module):
         GaussianNonLinearMean.py:113-150 (TGP, GH quadrature)."""
         Yt = Y.t()                                              # (1,MB)
         c_y = torch.exp(self.log_var_noise).expand_as(Yt)
+        if self.obs_warp is not None:
+            # warped-GP ELL: closed-form Gaussian ELL on T(y) plus the
+            # warp's log-Jacobian (WarpedGaussianLinearMean.py:65-85)
+            y_ = Y.detach().requires_grad_(True)
+            TY = self.obs_warp(y_)
+            dT = torch.autograd.grad(TY.sum(), y_, create_graph=True)[0]
+            lp = batched_log_gaussian(TY.t(), mu_qf, c_y)
+            tr = -0.5 * torch.sum(cov_qf / c_y, 1)
+            return (lp + tr).sum() + torch.log(dT.abs() + 1e-30).sum()
         if self.flow is None:
             lp = batched_log_gaussian(Yt, mu_qf, c_y)
             tr = -0.5 * torch.sum(cov_qf / c_y, 1)
@@ -564,6 +593,24 @@ class SparseTGP(nn.Module):
         MB = X.shape[0]
         mu_qf, cov_qf = self.marginal_qf(X)                     # (1,MB)
         c_y = torch.exp(self.log_var_noise).view(1, 1, 1, 1)
+        if self.obs_warp is not None:
+            # moments of Y = T^{-1}(f + eps) by Gauss-Hermite quadrature of
+            # the inverse warp under the unwarped predictive N(mu, cov+s2)
+            # (WarpedGaussianLinearMean.py:93-148), then the moment-matched
+            # Gaussian log-density (the reference evaluates the warped
+            # likelihood through the GaussianLinearMean isinstance branch,
+            # sparse_MF_SP.py:780-791)
+            m0 = mu_qf
+            k0 = cov_qf + torch.exp(self.log_var_noise)
+            locs = (torch.sqrt(2.0 * k0).unsqueeze(0)
+                    * self.quad_x.view(-1, 1, 1) + m0.unsqueeze(0))
+            inv = self.obs_warp.inverse(locs)
+            w = self.quad_w.view(-1, 1, 1)
+            m1 = (w * inv).sum(0) / SQRT_PI
+            m2 = (w * inv ** 2).sum(0) / SQRT_PI - m1 ** 2
+            lp = batched_log_gaussian(Y_std * Y.t(), Y_std * m1,
+                                      (Y_std * torch.sqrt(m2)) ** 2)
+            return float(lp.sum()), m1.squeeze(0), m2.squeeze(0)
         if self.flow is None:
             m_y, k_y = mu_qf, cov_qf + torch.exp(self.log_var_noise)
             lp = batched_log_gaussian(Y_std * Y.t(), Y_std * m_y,
@@ -617,6 +664,9 @@ class SparseTGP(nn.Module):
         fk = self.flow(f0, Xr.unsqueeze(0)) if self.flow is not None else f0
         noise = torch.sqrt(torch.exp(self.log_var_noise))
         y = fk + noise * torch.randn_like(fk)
+        if self.obs_warp is not None:
+            # Y = T^{-1}(f + eps) (WarpedGaussianLinearMean.py:44-63)
+            y = self.obs_warp.inverse(y)
         return y.view(S, N)
 
 
@@ -705,9 +755,15 @@ def run(args):
         init_Z = km.cluster_centers_
 
     hyper = None
+    obs_warp = None
     t_init = 0.0
     if args.model == "SVGP":
         flow = None
+    elif args.model == "WGP":
+        # warped-GP: no process flow; learnable SAL(1) observation warp,
+        # identity at init (matching experiments/main.py --model WGP)
+        flow = None
+        obs_warp = sal_flow(1)
     elif args.model == "TGP":
         # exp_config.py:31-56: power = SAL x2; boston = StepTanhL 10x2
         if args.dataset == "power":
@@ -758,7 +814,7 @@ def run(args):
         raise SystemExit(f"unknown model {args.model}")
 
     model = SparseTGP(Dx, args.num_inducing, N_tr, init_Z, flow,
-                      quad_points=100)
+                      quad_points=100, obs_warp=obs_warp)
 
     if args.model == "ID_TGP" and not resuming:
         t0 = time.time()
@@ -875,7 +931,7 @@ def run(args):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True,
-                   choices=["SVGP", "TGP", "ID_TGP"])
+                   choices=["SVGP", "TGP", "ID_TGP", "WGP"])
     p.add_argument("--dataset", required=True)
     p.add_argument("--split", type=int, default=1)
     p.add_argument("--num_inducing", type=int, required=True)
