@@ -10,12 +10,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def estimate_spectral_density(x, y, prominence: float = 1000.0):
+def estimate_spectral_density(x, y, prominence: float = 1000.0,
+                              return_power: bool = False):
     """Peak frequencies/periods of the empirical spectral density.
 
     Args:
       x: (N,) evenly-spaced inputs; y: (N,) observations.
-    Returns (freqs, periods) lists.
+      return_power: additionally return the periodogram power at each peak
+        (for top-K component selection when seeding spectral-mixture
+        kernels — the reference hand-tunes `prominence` per corpus instead,
+        code/dsp/utils.py:58-97).
+    Returns (freqs, periods) lists, plus `powers` when return_power.
     """
     from scipy.signal import find_peaks
 
@@ -27,4 +32,7 @@ def estimate_spectral_density(x, y, prominence: float = 1000.0):
     peaks, _ = find_peaks(emp_spect, prominence=prominence)
     freqs = [freq[i] for i in peaks]
     periods = [1.0 / f for f in freqs if f != 0]
+    if return_power:
+        powers = [float(emp_spect[i]) for i in peaks]
+        return freqs, periods, powers
     return freqs, periods
