@@ -125,12 +125,18 @@ def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default=None)
+    p.add_argument("--rng_impl", default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="training-draw PRNG; rbg = TPU hardware RNG "
+                        "(reproduces PARITY.md's '693 steps/s with rbg' "
+                        "ID_TGP row)")
     args = p.parse_args()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
     from tgp.pytorch_tpu import config as cfg
     cfg.set_precision("fp32")
+    cfg.set_rng_impl(args.rng_impl)
 
     rows = [
         bench_config("SVGP boston-size", 455, 13, 5, 0, 0),

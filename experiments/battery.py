@@ -214,6 +214,16 @@ def main():
                      flow=flow_spec, mean="zero", whiten=True,
                      fast_solves=args.fast_solves,
                      solve_precision=args.solve_precision)
+    if args.fast_solves and args.solve_precision != "highest":
+        # the vmapped battery has no per-replica plateau guard; make the
+        # measured combined-lever stall (power M=256, +0.033 NLL — PARITY.md
+        # solve-precision section) impossible to reproduce silently
+        print("WARNING: --fast_solves + --solve_precision="
+              f"{args.solve_precision} TOGETHER deterministically stalled "
+              "at mid M in measurement (PARITY.md).  Validate the ELBO "
+              "trace (--save_curves + tools/plateau_analysis.py) or prefer "
+              "either lever alone / experiments/main.py "
+              "--solve_warmup_epochs for this combination.", flush=True)
 
     import jax.numpy as jnp
     import jax.tree_util as jtu

@@ -232,10 +232,25 @@ def run(args):
                                    solve_precision="highest")
     trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test,
                       seed=args.train_seed, mesh=mesh)
-    if args.plateau_guard:
+    plateau_action = args.plateau_guard
+    if (spec_final.fast_solves and spec_final.solve_precision != "highest"
+            and warmup == 0 and not plateau_action):
+        # measured hazard: fast_solves + reduced solve_precision TOGETHER
+        # deterministically stall on an ELBO plateau at mid M (power M=256:
+        # +0.033 NLL — PARITY.md solve-precision section).  Don't let that
+        # configuration run silently: default the reactive guard on, which
+        # swaps back to trsm/'highest' with optimizer moments carried.
+        plateau_action = "recover"
+        print("WARNING: --fast_solves with --solve_precision="
+              f"{spec_final.solve_precision} and no --solve_warmup_epochs "
+              "reproduces a measured early-plateau stall at mid M "
+              "(PARITY.md).  Enabling the plateau guard (action='recover') "
+              "by default; pass --solve_warmup_epochs 3000 or "
+              "--plateau_guard warn to override.", flush=True)
+    if plateau_action:
         trainer.plateau_guard = {"window": 2000, "min_rel_improve": 1e-4,
                                  "max_fraction": 0.5,
-                                 "action": args.plateau_guard}
+                                 "action": plateau_action}
     t0 = time.time()
     if warmup:
         print(f"==== solve warmup: {warmup} epochs at trsm/'highest' ====")

@@ -9,6 +9,7 @@ multiseed battery kernel.
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from tgp.pytorch_tpu import config as cfg
@@ -136,3 +137,35 @@ def test_rbg_multiseed_battery(rbg):
         a = np.asarray(l)
         if a.dtype.kind == "f":
             assert np.isfinite(a).all()
+
+
+def test_rbg_multiseed_battery_on_mesh(rbg):
+    """ADVICE r3: the rbg + --mesh combination — TYPED key arrays flowing
+    through _pad_for_mesh's jnp.concatenate (R=3 padded to dp=8) and
+    _shard_replica_axis's sharded device_put — pinned against regression,
+    and the padded-clone outputs must match the unsharded run replica-for-
+    replica (padding clones are sliced back out)."""
+    from tgp.pytorch_tpu.train.multiseed import train_multiseed
+    from tgp.pytorch_tpu.parallel.mesh import make_mesh
+
+    spec, params, X, Y = _id_problem()
+    R = 3   # deliberately non-divisible into dp=8 -> exercises the pad
+    stack = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x), (R,) + np.shape(x)).copy(),
+        params)
+    Xs = np.broadcast_to(X, (R,) + X.shape).copy()
+    Ys = np.broadcast_to(Y, (R,) + Y.shape).copy()
+
+    p_ref, c_ref = train_multiseed(spec, jax.tree_util.tree_map(jnp.copy, stack),
+                                   Xs, Ys, epochs=5, lr=0.02, seed=11)
+    mesh = make_mesh(dp=8, ty=1)
+    p_sh, c_sh = train_multiseed(spec, stack, Xs, Ys, epochs=5, lr=0.02,
+                                 seed=11, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(c_sh["elbo"]),
+                               np.asarray(c_ref["elbo"]), rtol=1e-6)
+    assert np.asarray(c_sh["elbo"]).shape[1] == R  # pad sliced back out
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh),
+                    jax.tree_util.tree_leaves(p_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)

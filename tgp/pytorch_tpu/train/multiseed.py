@@ -227,8 +227,18 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     (donate_argnums), so the CALLER'S input device buffers are invalidated
     by the first chunk — keep using the returned stack, and jnp.copy()
     first if the input must stay live (tools/pallas_battery_ab.py does).
+
+    INVARIANT: every leaf of params_stack must be replica-stacked (leading
+    axis R, as `stack_trees` produces) — the mesh pad/slice/shard helpers
+    identify replica leaves purely by `shape[0] == R` and would silently
+    pad/truncate a leaf whose leading dim coincidentally equals R without
+    being replica-stacked.  Asserted below.
     """
     R = X_stack.shape[0]
+    for leaf in jax.tree_util.tree_leaves(params_stack):
+        assert jnp.ndim(leaf) >= 1 and jnp.shape(leaf)[0] == R, (
+            f"params_stack leaf shape {jnp.shape(leaf)} lacks the leading "
+            f"replica axis R={R}; build stacks with stack_trees")
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
