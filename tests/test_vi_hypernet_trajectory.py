@@ -166,6 +166,44 @@ def _replica(X, y, Z0, flow_params):
         torch.set_default_dtype(_PREV_TORCH_DTYPE)
 
 
+def test_vi_anchor_fit_shrinks_logvars():
+    """The identity anchor fit must go through the SAMPLED VI forward
+    (reference forward_initializer, flow.py:914-915: is_initializing=False)
+    so the MSE loss drives the logvars down from their variance~1 init
+    (BNN_VILR.py:20-23).  Regression: fitting means only leaves weight
+    variance 1 and the first training ELBO explodes (~-1e23 on boston,
+    NaN in fp32 on TPU)."""
+    from tgp.pytorch_tpu.flows.initializers import fit_hypernet_to_anchors
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.data import kmeans_centers
+
+    X, y = _data()
+    Z0 = kmeans_centers(X, M_IND, n_init=2)
+    spec, params = _make_spec_params(X, Z0)
+    # undo the test-harness logvar pin: restore the reference's ~N(0,1e-40)
+    # init so the fit starts from weight variance ~1
+    params["flow"] = jax.tree_util.tree_map_with_path(
+        lambda p, v: (jnp.zeros_like(v)
+                      if "logvar" in "/".join(str(k) for k in p) else v),
+        params["flow"])
+    fp0 = jax.tree_util.tree_map(lambda x: x[0], params["flow"])
+    fp0, loss = fit_hypernet_to_anchors(spec.flow, fp0, [X],
+                                        num_epochs=600, noise_var=0.0)
+    lvs = [v for p, v in jax.tree_util.tree_leaves_with_path(fp0)
+           if "logvar" in jax.tree_util.keystr(p)]
+    assert lvs, "no logvar leaves found in fitted VI flow params"
+    lv_max = max(float(np.max(np.asarray(v))) for v in lvs)
+    assert lv_max < -0.5, f"anchor fit left weight variance high: {lv_max}"
+    # the sampled-forward MSE has an irreducible sampling-variance floor;
+    # the load-bearing assertions are the logvar shrink and finite ELBO
+    assert loss < 2.0, loss
+    params["flow"] = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * 1), fp0)
+    e, _, _ = M.elbo(spec, params, jnp.asarray(X), jnp.asarray(y),
+                     rng=jax.random.PRNGKey(0))
+    assert math.isfinite(float(e)) and float(e) > -1e5, float(e)
+
+
 def test_vi_trajectory_matches_replica():
     X, y = _data()
     from tgp.pytorch_tpu.data import kmeans_centers

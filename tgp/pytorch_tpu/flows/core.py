@@ -544,9 +544,14 @@ def flow_forward_initializer(spec: Tuple[FlowStep, ...], params, X,
         if not step.input_dependent:
             continue
         names = ("a", "b", "c", "d") if step.kind == "tanh" else ("a", "b")
-        dropout_active = step.hypernet.inference == "MC_dropout"
-        sctx = dataclasses.replace(ctx, stochastic=dropout_active,
-                                   mean_only=not dropout_active)
+        # BOTH inference modes fit through the stochastic forward: MC-dropout
+        # with dropout active (flow.py:911-912, module in train mode) and VI
+        # with sampled weights (`is_initializing=False`, flow.py:914-915).
+        # The sampled pass is what makes the MSE fit drive the VI logvars
+        # down from their variance~1 init (BNN_VILR.py:20-23) — fitting the
+        # means only leaves weight variance 1 and the subsequent ELBO
+        # explodes (~-1e23 at step 0 on boston, NaN in fp32 on TPU).
+        sctx = dataclasses.replace(ctx, stochastic=True, mean_only=False)
         outs = _hyper_params(step, p, X, sctx, names)
         for n, out in zip(names, outs):
             anchor = jax.lax.stop_gradient(p[n])

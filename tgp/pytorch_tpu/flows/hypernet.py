@@ -160,7 +160,10 @@ def apply_hypernet(spec: HyperNetSpec, params, X, *, rng=None,
             if mean_only or not stochastic:
                 s = mu
             else:
-                var = (h ** 2) @ jnp.exp(layer["w_logvar"]) + jnp.exp(layer["b_logvar"])
+                # clip before exp: a transient logvar spike past ~88 would
+                # inf fp32 where the reference's fp64 survives to 709
+                var = ((h ** 2) @ jnp.exp(jnp.clip(layer["w_logvar"], -60.0, 30.0))
+                       + jnp.exp(jnp.clip(layer["b_logvar"], -60.0, 30.0)))
                 if rng is None:
                     raise ValueError("VI hypernet sampling requires an rng")
                 rng, sub = jax.random.split(rng)
@@ -208,12 +211,21 @@ def hypernet_kld(spec: HyperNetSpec, params):
     if spec.inference != "mean_field_gaussian":
         return jnp.zeros(())
     p_logvar = jnp.log(jnp.asarray(spec.prior_var))
+
+    def _exp_lin(lv, cap=60.0):
+        # exp with a linear tail past `cap`: finite in fp32 (exp(88) infs)
+        # while keeping a positive d/dlv so the KLD can still push a
+        # runaway logvar back down (a plain clip zeroes that gradient)
+        return jnp.where(lv > cap,
+                         jnp.exp(cap) * (1.0 + (lv - cap)),
+                         jnp.exp(jnp.minimum(lv, cap)))
+
     total = 0.0
     for layer in params["layers"]:
         for m_key, lv_key in (("w_mean", "w_logvar"), ("b_mean", "b_logvar")):
             q_m, q_lv = layer[m_key], layer[lv_key]
             total = total + 0.5 * jnp.sum(
-                -1.0 + p_logvar - q_lv + jnp.exp(q_lv) / spec.prior_var
+                -1.0 + p_logvar - q_lv + _exp_lin(q_lv) / spec.prior_var
                 + jnp.square(q_m) / spec.prior_var
             )
     return total
