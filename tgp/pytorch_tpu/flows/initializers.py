@@ -81,7 +81,7 @@ def fit_flow_to_identity(flow_list_fn: Callable[[], list], y_min: float,
 
 def fit_hypernet_to_anchors(spec, params, batches, *, num_epochs: int = 2000,
                             lr: float = 0.01, noise_var: float = 0.0,
-                            seed: int = 0):
+                            seed: int = 0, use_scan: bool | None = None):
     """Fit input-dependent hypernets so NNet(X) matches the anchor values.
 
     `batches` is a list/iterable of X arrays (the training inputs).  The
@@ -105,7 +105,11 @@ def fit_hypernet_to_anchors(spec, params, batches, *, num_epochs: int = 2000,
         return optax.apply_updates(p, u), s, loss
 
     Xs = [jnp.asarray(b, cfg.default_dtype()) for b in batches]
-    if len({x.shape for x in Xs}) == 1:
+    if use_scan is None:
+        use_scan = len({x.shape for x in Xs}) == 1
+    elif use_scan and len({x.shape for x in Xs}) != 1:
+        raise ValueError("use_scan=True requires equal-shaped batches")
+    if use_scan:
         # scan-compiled fast path: every per-(epoch, batch) step is one
         # scan iteration, so the whole fit is a handful of device programs
         # instead of num_epochs*len(batches) dispatches (each dispatch
