@@ -81,6 +81,13 @@ def parse_args(argv=None):
                         "reduced-precision solve mode back to trsm/'highest' "
                         "with optimizer moments carried (the reactive twin "
                         "of --solve_warmup_epochs)")
+    p.add_argument("--natgrad", type=float, default=None, metavar="GAMMA",
+                   help="natural-gradient VI on q(U) (train/natgrad.py): "
+                        "q's (m, L) leave Adam and take a natural-gradient "
+                        "step of this size after every optimizer step.  "
+                        "GAMMA=1.0 is exact in the conjugate limit and "
+                        "stable on the measured TGP configs; capability "
+                        "beyond the reference (PARITY.md natgrad section)")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "
@@ -256,12 +263,14 @@ def run(args):
         print(f"==== solve warmup: {warmup} epochs at trsm/'highest' ====")
         trainer.train(warmup, args.lr, "adam",
                       optimisation_schedule=schedule,
-                      verbose_each=args.verbose_each)
+                      verbose_each=args.verbose_each,
+                      natgrad_gamma=args.natgrad)
         trainer.spec = spec_final
     if args.epochs - warmup > 0:
         trainer.train(args.epochs - warmup, args.lr, "adam",
                       optimisation_schedule=schedule,
-                      verbose_each=args.verbose_each)
+                      verbose_each=args.verbose_each,
+                      natgrad_gamma=args.natgrad)
     train_time = time.time() - t0
 
     if args.checkpoint_dir:

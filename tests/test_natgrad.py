@@ -1,0 +1,130 @@
+"""Natural-gradient VI (train/natgrad.py) — beyond-reference capability.
+
+Pins the three properties that make NGD trustworthy:
+  * conjugate exactness — for a Gaussian likelihood, identity flow, full
+    batch and fixed hyperparameters, ONE step with gamma=1 lands exactly on
+    the optimal q(U) (Hensman et al. 2013): the next step is a fixed point
+    and dELBO/dq vanishes;
+  * robustness — an absurd step size cannot NaN the params (bounded
+    backtracking halving, no-op in the limit);
+  * Trainer integration — natgrad_gamma trains a flow TGP stably and
+    reaches a strictly better ELBO than plain Adam in the same (short)
+    epoch budget, with q(U) excluded from the Adam update.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tgp.pytorch_tpu import config as cfg
+from tgp.pytorch_tpu.ops import kernels as K
+from tgp.pytorch_tpu.models import tgp as Mm
+from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+from tgp.pytorch_tpu.train.natgrad import natgrad_update
+
+
+def _svgp(N=80, Dx=2, M=12):
+    rs = np.random.RandomState(0)
+    X = rs.randn(N, Dx)
+    Y = rs.randn(N, 1)
+    spec = Mm.svgp_spec(Dy=1, Dx=Dx, M=M, N=float(N),
+                        kernel=K.from_name("scale_rbf"),
+                        likelihood=LikelihoodSpec("gaussian", 1))
+    params = Mm.init_tgp_params(
+        spec, X, X[:M].copy(), variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0})
+    return spec, params, jnp.asarray(X, cfg.default_dtype()), \
+        jnp.asarray(Y, cfg.default_dtype())
+
+
+def test_conjugate_one_step_exact():
+    spec, params, X, Y = _svgp()
+    e0 = float(Mm.elbo(spec, params, X, Y, None)[0])
+    p1 = natgrad_update(spec, params, X, Y, None, 1.0)
+    e1 = float(Mm.elbo(spec, p1, X, Y, None)[0])
+    p2 = natgrad_update(spec, p1, X, Y, None, 1.0)
+    e2 = float(Mm.elbo(spec, p2, X, Y, None)[0])
+    assert e1 > e0 + 10.0          # the one-step jump is large
+    assert abs(e2 - e1) < 1e-4     # ... and already a fixed point
+    g = jax.grad(lambda p: Mm.elbo(spec, p, X, Y, None)[0])(p2)
+    scale = abs(e1) + 1.0
+    assert float(jnp.max(jnp.abs(g["q_mu"]))) < 1e-5 * scale
+    assert float(jnp.max(jnp.abs(g["q_L"]))) < 1e-5 * scale
+
+
+def test_unwhitened_also_exact():
+    rs = np.random.RandomState(1)
+    X = rs.randn(60, 2)
+    Y = rs.randn(60, 1)
+    spec = Mm.svgp_spec(Dy=1, Dx=2, M=10, N=60.0, whiten=False,
+                        kernel=K.from_name("scale_rbf"),
+                        likelihood=LikelihoodSpec("gaussian", 1))
+    params = Mm.init_tgp_params(
+        spec, X, X[:10].copy(), variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0})
+    Xd = jnp.asarray(X, cfg.default_dtype())
+    Yd = jnp.asarray(Y, cfg.default_dtype())
+    p1 = natgrad_update(spec, params, Xd, Yd, None, 1.0)
+    e1 = float(Mm.elbo(spec, p1, Xd, Yd, None)[0])
+    p2 = natgrad_update(spec, p1, Xd, Yd, None, 1.0)
+    e2 = float(Mm.elbo(spec, p2, Xd, Yd, None)[0])
+    assert abs(e2 - e1) < 1e-4
+
+
+def test_huge_gamma_never_nans():
+    spec, params, X, Y = _svgp()
+    p = natgrad_update(spec, params, X, Y, None, 1e6)
+    flat = jax.tree_util.tree_leaves(p)
+    assert all(bool(jnp.isfinite(x).all()) for x in flat)
+    e = float(Mm.elbo(spec, p, X, Y, None)[0])
+    assert np.isfinite(e)
+
+
+def test_trainer_natgrad_beats_adam_short_budget():
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+
+    rs = np.random.RandomState(3)
+    N, Dx, M = 120, 2, 15
+    X = rs.randn(N, Dx)
+    Y = np.sinh(0.8 * np.asarray(X[:, :1]) + 0.3 * rs.randn(N, 1))
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(2))
+    spec = Mm.TGPSpec(Dy=1, Dx=Dx, M=M, N=float(N),
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                quad_points=30),
+                      flow=fspec)
+
+    def run(natgrad_gamma):
+        params = Mm.init_tgp_params(
+            spec, X, X[:M].copy(), variance_scale=1e-5,
+            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+            flow_inits=finits)
+        loaders = [DataLoader(ArrayDataset(X, Y), N, shuffle=False)]
+        tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
+        tr.train(60, 0.01, "adam", verbose_each=0,
+                 natgrad_gamma=natgrad_gamma)
+        return tr
+
+    adam = run(None)
+    ngd = run(1.0)
+    assert np.isfinite(ngd.loss_curve).all()
+    # same epoch budget: the natgrad arm must be strictly ahead
+    assert ngd.loss_curve[-1] > adam.loss_curve[-1] + 1.0
+    # and q(U) actually moved (it is frozen out of Adam, so any movement
+    # came from the natgrad step)
+    assert float(jnp.max(jnp.abs(ngd.params["q_mu"]))) > 1e-3
+
+
+def test_natgrad_lbfgs_rejected():
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    spec, params, X, Y = _svgp()
+    loaders = [DataLoader(ArrayDataset(np.asarray(X), np.asarray(Y)),
+                          int(X.shape[0]), shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
+    with pytest.raises(NotImplementedError):
+        tr.train(5, 0.1, "lbfgs", natgrad_gamma=0.5)

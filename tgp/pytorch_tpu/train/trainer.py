@@ -293,6 +293,14 @@ class Trainer:
     def _make_train_step(self, optimizer):
         spec = self.spec
 
+        gamma = getattr(self, "_natgrad_gamma", None)
+        if gamma is not None:
+            # fused hybrid step: hyperparameter grads (Adam) and
+            # dELBO/d(m, S) (natural gradient on q) from ONE backward pass
+            from .natgrad import natgrad_train_step
+            return jax.jit(natgrad_train_step(spec, optimizer, gamma),
+                           donate_argnums=(0, 1))
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, X, Y, rng):
             def loss_fn(p):
@@ -317,6 +325,7 @@ class Trainer:
         scale dataset (2M x 9 fp32 ~ 72 MB) sits comfortably in HBM.
         """
         spec = self.spec
+        gamma = getattr(self, "_natgrad_gamma", None)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def run_epoch(params, opt_state, Xd, Yd, perm, rng):
@@ -330,6 +339,11 @@ class Trainer:
                 xb = jnp.take(Xd, ids, axis=0)
                 yb = jnp.take(Yd, ids, axis=0)
                 xb, yb = self._batch_constraint(xb, yb)
+                if gamma is not None:
+                    from .natgrad import natgrad_train_step
+                    p, s, out = natgrad_train_step(spec, optimizer, gamma)(
+                        p, s, xb, yb, r)
+                    return (p, s), out
 
                 def loss_fn(pp):
                     e, ell, kld = tgp_mod.elbo(spec, pp, xb, yb, r)
@@ -400,11 +414,17 @@ class Trainer:
         per device call, amortising host->device dispatch latency entirely.
         """
         spec = self.spec
+        gamma = getattr(self, "_natgrad_gamma", None)
 
         @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
         def run_steps(params, opt_state, X, Y, rng, n_steps):
             def body(carry, r):
                 p, s = carry
+                if gamma is not None:
+                    from .natgrad import natgrad_train_step
+                    p, s, out = natgrad_train_step(spec, optimizer, gamma)(
+                        p, s, X, Y, r)
+                    return (p, s), out
                 def loss_fn(pp):
                     e, ell, kld = tgp_mod.elbo(spec, pp, X, Y, r)
                     return -e, (ell, kld)
@@ -424,7 +444,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self, epochs: int, lr_ALL: float, opt: str = "adam",
               optimisation_schedule=None, verbose_each: int = 100,
-              clip_norm: float | None = None):
+              clip_norm: float | None = None,
+              natgrad_gamma: float | None = None):
         """Run the optimisation loop.
 
         optimisation_schedule = (percentages, specifications) exactly like
@@ -447,6 +468,19 @@ class Trainer:
             raise ValueError(f"schedule percentages must sum to 1, got {sum(percentages)}")
 
         frozen = frozen_param_labels(self.spec, self.params)
+        self._natgrad_gamma = natgrad_gamma
+        if natgrad_gamma is not None:
+            # natural-gradient VI (train/natgrad.py): q(U) leaves leave the
+            # gradient optimizer entirely (the frozen mask) and are updated
+            # by the natural-gradient step appended to every train step.
+            if opt == "lbfgs":
+                raise NotImplementedError(
+                    "natgrad_gamma is not supported with lbfgs (two solvers "
+                    "fighting over one objective)")
+            paths = param_paths(self.params)
+            frozen = jax.tree_util.tree_map(
+                lambda fr, p: bool(fr) or p.endswith("q_mu") or p.endswith("q_L"),
+                frozen, paths)
         ep_done = 0
         # periodic validation works with the scan path by aligning chunk
         # boundaries to validate_each; on multi-process meshes every process
