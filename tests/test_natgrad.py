@@ -128,3 +128,45 @@ def test_natgrad_lbfgs_rejected():
     tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
     with pytest.raises(NotImplementedError):
         tr.train(5, 0.1, "lbfgs", natgrad_gamma=0.5)
+
+
+def test_natgrad_on_dp_mesh_matches_unsharded():
+    """natgrad_gamma composes with Trainer(mesh=...): the fused hybrid step
+    under a dp-sharded batch reproduces the unsharded run bit-closely (the
+    NGD triangular work is replicated; only the ELBO reduction is
+    sharded)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.parallel import make_mesh
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+
+    rng = np.random.RandomState(0)
+    N = 64
+    X = rng.randn(N, 3)
+    Y = rng.randn(N, 1)
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(1))
+    spec = Mm.TGPSpec(Dy=1, Dx=3, M=8, N=float(N),
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                quad_points=32),
+                      flow=fspec)
+    params0 = Mm.init_tgp_params(spec, X, X[:8], flow_inits=finits)
+
+    def run(mesh):
+        params = jax.tree_util.tree_map(lambda x: np.array(x, copy=True),
+                                        params0)
+        loaders = [DataLoader(ArrayDataset(X, Y), N, shuffle=False)]
+        tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=2,
+                     mesh=mesh)
+        tr.train(40, 0.05, "adam", verbose_each=0, natgrad_gamma=1.0)
+        return tr.params
+
+    p_ref = run(None)
+    p_dp = run(make_mesh(dp=8, ty=1))
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
