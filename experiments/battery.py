@@ -70,6 +70,10 @@ def main():
                         "pinned by --seeds, so varying this isolates "
                         "trajectory (MC-noise) fragility from data "
                         "pathology when a split under-performs")
+    p.add_argument("--natgrad", type=float, default=None, metavar="GAMMA",
+                   help="natural-gradient VI on q(U) for every replica "
+                        "(train/natgrad.py; exact in the conjugate limit "
+                        "at GAMMA=1).  Capability beyond the reference")
     p.add_argument("--clip_norm", type=float, default=None,
                    help="per-replica global-norm gradient clip (mitigates "
                         "inverse-Box-Cox derivative spikes)")
@@ -279,7 +283,8 @@ def main():
         params, curves = ms.train_multiseed_minibatch(
             spec, params, Xs, Ys, args.epochs, args.lr,
             batch_size=args.batch_size, seed=args.train_seed, specs=specs,
-            clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh)
+            clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
+            natgrad_gamma=args.natgrad)
         train_s = time.time() - t0
     else:
         # segmented training with post-segment checkpoints: a crash resumes
@@ -299,7 +304,8 @@ def main():
                 spec, params, Xs, Ys, n, args.lr,
                 batch_size=args.batch_size, seed=args.train_seed, specs=specs,
                 clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
-                carry=carry, return_state=True)
+                carry=carry, return_state=True,
+                natgrad_gamma=args.natgrad)
             train_s += time.time() - t0
             done += n
             curve_parts.append({k: np.asarray(v) for k, v in cv.items()})

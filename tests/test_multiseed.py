@@ -278,3 +278,33 @@ def test_battery_mesh_pads_non_divisible_replicas():
                                                 np.asarray(b),
                                                 rtol=2e-5, atol=1e-6),
         p_mb, p_mb2)
+
+
+def test_battery_natgrad_conjugate_exact_per_replica():
+    """train_multiseed(natgrad_gamma=1.0) applies the vmapped fused NGD
+    step per replica: on conjugate SVGP replicas with hypers held (lr=0
+    via an empty-match spec is not available, so use a tiny lr and check
+    the q fixed point dominates), consecutive epochs reach a per-replica
+    q(U) fixed point: epoch 1 jumps, epoch 2 matches epoch 1 closely, and
+    q(U) left the gradient optimizer (Adam moments for q are inactive)."""
+    R, M = 3, 6
+    spec = Mm.svgp_spec(Dy=1, Dx=2, M=M, N=64.0,
+                        kernel=K.from_name("scale_rbf"),
+                        likelihood=LikelihoodSpec("gaussian", 1))
+    Xs, Ys, Ps = [], [], []
+    for r in range(R):
+        X, Y = _make_replica(r)
+        Xs.append(X); Ys.append(Y)
+        Ps.append(Mm.init_tgp_params(
+            spec, X, X[:M].copy(), variance_scale=1e-5,
+            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+            noise_init=0.05))
+    stack = ms.stack_trees(Ps)
+    p1, c1 = ms.train_multiseed(spec, stack, np.stack(Xs), np.stack(Ys),
+                                3, 1e-12, natgrad_gamma=1.0)
+    e = np.asarray(c1["elbo"])
+    assert np.isfinite(e).all()
+    # the first NGD step is the big jump; after it q is optimal per
+    # replica so later epochs are (near-)fixed points
+    assert (e[2] - e[1] < 1e-3).all() and (np.abs(e[2] - e[1]) < 1e-2).all()
+    assert (e[1] > e[0] - 1e-6).all()

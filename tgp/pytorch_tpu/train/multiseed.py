@@ -67,7 +67,7 @@ def clip_by_global_norm_per_replica(max_norm: float):
 
 
 def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
-               specs=None, force_grouped=False):
+               specs=None, force_grouped=False, extra_frozen=None):
     """Optimizer for the stacked pytree.  Parameter-group specs and frozen
     labels are PATH-based and every transform is elementwise, so the
     single-model machinery applies to the stacked tree verbatim and equals
@@ -81,6 +81,9 @@ def _optimizer(spec, params_stack, opt: str, lr: float, clip_norm,
     from .optimizers import make_optimizer, build_grouped_optimizer
     from .trainer import frozen_param_labels
     frozen = frozen_param_labels(spec, params_stack)
+    if extra_frozen is not None:
+        frozen = jax.tree_util.tree_map(lambda a, b: bool(a) or bool(b),
+                                        frozen, extra_frozen)
     any_frozen = any(jax.tree_util.tree_leaves(frozen))
     grouped = specs is not None or any_frozen
     if opt in ("adam", "adam_W", "adam_R") and (grouped or force_grouped):
@@ -198,11 +201,23 @@ def _resolve_carry(optimizer, params_stack, carry, R, seed, opt=None,
     return cs, jnp.asarray(carry["rngs"])
 
 
+def _natgrad_extras(params_stack, natgrad_gamma):
+    """(extra_frozen, want_ng): q(U) leaves leave the gradient optimizer
+    when natural-gradient VI is on (see train/natgrad.py)."""
+    if natgrad_gamma is None:
+        return None, False
+    from .optimizers import param_paths
+    paths = param_paths(params_stack)
+    extra = jax.tree_util.tree_map(
+        lambda q: q.endswith("q_mu") or q.endswith("q_L"), paths)
+    return extra, True
+
+
 def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
                     lr: float, opt: str = "adam", seed: int = 0,
                     chunk: int = 2000, clip_norm=None, verbose_each: int = 0,
                     specs=None, mesh=None, carry=None,
-                    return_state: bool = False):
+                    return_state: bool = False, natgrad_gamma=None):
     """Train R replicas full-batch for `epochs` steps, vmapped.
 
     Args:
@@ -243,8 +258,10 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     Xd = jnp.asarray(X_stack, dtype)
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
         jnp.asarray(Y_stack).dtype, jnp.integer) else jnp.asarray(Y_stack, dtype)
+    ng_frozen, use_ng = _natgrad_extras(params_stack, natgrad_gamma)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
-                           force_grouped=carry is not None or return_state)
+                           force_grouped=carry is not None or return_state,
+                           extra_frozen=ng_frozen)
     # one rng stream per replica, matching a per-replica Trainer(seed=seed+r)
     opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R,
                                      seed, opt=opt, clip_norm=clip_norm)
@@ -255,12 +272,20 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
         params_stack, opt_state, Xd, Yd, rngs = _shard_replica_axis(
             mesh, R, params_stack, opt_state, Xd, Yd, rngs)
 
+    ng_step = None
+    if use_ng:
+        from .natgrad import natgrad_multiseed_step
+        ng_step = natgrad_multiseed_step(spec, optimizer, natgrad_gamma)
+
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
     def run(params, opt_state, Xd, Yd, rngs, n_steps):
         def body(carry, _):
             p, s, keys = carry
             split = jax.vmap(jax.random.split)(keys)       # (R, 2, 2)
             keys, sub = split[:, 0], split[:, 1]
+            if ng_step is not None:
+                p, s, (e, ell, kld) = ng_step(p, s, Xd, Yd, sub)
+                return (p, s, keys), (e, ell, kld)
 
             def loss_fn(pp):
                 e, ell, kld = jax.vmap(
@@ -322,7 +347,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                               opt: str = "adam", seed: int = 0,
                               clip_norm=None, verbose_each: int = 0,
                               specs=None, mesh=None, carry=None,
-                              return_state: bool = False):
+                              return_state: bool = False,
+                              natgrad_gamma=None):
     """Minibatch-SVI battery: R replicas, each shuffling its own split with
     its own seeded generator (the Trainer's device-resident fast path,
     vmapped over the seed axis).  One epoch = one device program; the only
@@ -344,16 +370,23 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                                lr, opt=opt, seed=seed, clip_norm=clip_norm,
                                verbose_each=verbose_each, specs=specs,
                                mesh=mesh, carry=carry,
-                               return_state=return_state)
+                               return_state=return_state,
+                               natgrad_gamma=natgrad_gamma)
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)
     Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
         jnp.asarray(Y_stack, dtype)
+    ng_frozen, use_ng = _natgrad_extras(params_stack, natgrad_gamma)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
-                           force_grouped=carry is not None or return_state)
+                           force_grouped=carry is not None or return_state,
+                           extra_frozen=ng_frozen)
     opt_state, rngs = _resolve_carry(optimizer, params_stack, carry, R,
                                      seed, opt=opt, clip_norm=clip_norm)
+    ng_step = None
+    if use_ng:
+        from .natgrad import natgrad_multiseed_step
+        ng_step = natgrad_multiseed_step(spec, optimizer, natgrad_gamma)
     perm_sharding = None
     R_out = R
     if mesh is not None:
@@ -370,6 +403,9 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     def _one_step(p, s, keys, xb, yb):
         split = jax.vmap(jax.random.split)(keys)
         keys, sub = split[:, 0], split[:, 1]
+        if ng_step is not None:
+            p, s, aux = ng_step(p, s, xb, yb, sub)
+            return p, s, keys, aux
 
         def loss_fn(pp):
             e, ell, kld = jax.vmap(

@@ -154,6 +154,37 @@ def natgrad_train_step(spec, optimizer, gamma):
     return step
 
 
+def natgrad_multiseed_step(spec, optimizer, gamma):
+    """Stacked-replica fused hybrid step for the vectorized batteries
+    (train/multiseed.py): every tree carries a leading R axis; the loss is
+    the replica sum (independent terms, so grads stay per-replica) and the
+    natural-gradient application is vmapped over R.
+
+        step(p, s, xb, yb, sub) -> (p, s, (e, ell, kld))   # (R,) curves
+    """
+
+    def step(p, s, xb, yb, sub):
+        m, Lq, S = _qu_ms(p)     # (R, nq, M) / (R, nq, M, M); all ops batch
+
+        def loss_fn(pp, m_, S_):
+            L_ = jnp.linalg.cholesky(_sym(S_))
+            e, ell, kld = jax.vmap(
+                lambda pr, xr, yr, rr: tgp_mod.elbo(spec, pr, xr, yr, rr)
+            )(dict(pp, q_mu=m_, q_L=L_), xb, yb, sub)
+            return -jnp.sum(e), (e, ell, kld)
+
+        (_, aux), (g, gm, gS) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(p, m, S)
+        updates, s = optimizer.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        p = jax.vmap(
+            lambda pr, dmr, dSr: natgrad_apply(spec, pr, dmr, dSr, gamma)
+        )(p, -gm, -_sym(gS))
+        return p, s, aux
+
+    return step
+
+
 def natgrad_mask(params):
     """optax.multi_transform label tree: 'ngd' for q(U) leaves (excluded
     from the gradient optimizer), 'opt' for everything else."""
