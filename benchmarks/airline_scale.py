@@ -7,6 +7,12 @@ the full dataset lives in HBM (~70 MB) and one epoch (200+ optimizer steps)
 executes as a single device program.
 
     python benchmarks/airline_scale.py [--rows 2000000] [--M 500] [--epochs 3]
+
+Time-to-quality mode: `--checkpoints 1,2,4,8 [--natgrad 0.1]` holds out
+50k rows (the real corpus's own test split when present), trains in
+chunks with carried optimizer moments, and emits one JSON line per
+checkpoint with held-out NLL/RMSE — the stochastic natural-gradient A/B
+at production scale (PARITY.md natgrad section for the full-batch case).
 """
 
 from __future__ import annotations
@@ -30,6 +36,13 @@ def main():
     p.add_argument("--fast_solves", action="store_true")
     p.add_argument("--solve_precision", default="highest",
                    choices=["highest", "high", "default"])
+    p.add_argument("--natgrad", type=float, default=None, metavar="GAMMA",
+                   help="natural-gradient VI on q(U) (stochastic/minibatch "
+                        "NGD, Salimbeni et al. 2018)")
+    p.add_argument("--checkpoints", default=None,
+                   help="comma-separated epoch checkpoints; switches to "
+                        "time-to-quality mode with held-out NLL/RMSE")
+    p.add_argument("--test_rows", type=int, default=50_000)
     args = p.parse_args()
     if args.platform:
         import jax
@@ -53,15 +66,21 @@ def main():
         from tgp.pytorch_tpu.data.large import load_airline
         split = load_airline(seed=1)
         X, Y = split["X_tr"], split["Y_tr"]
+        X_te, Y_te = split["X_te"][:args.test_rows], split["Y_te"][:args.test_rows]
         src = "airline.csv"
     except FileNotFoundError:
         rng = np.random.RandomState(0)
-        X = rng.randn(args.rows, 8)
-        f = np.sin(X[:, :1]) + 0.3 * X[:, 1:2] * X[:, 2:3]
-        Y = f + 0.3 * rng.randn(args.rows, 1)
+        n_all = args.rows + args.test_rows
+        Xa = rng.randn(n_all, 8)
+        f = np.sin(Xa[:, :1]) + 0.3 * Xa[:, 1:2] * Xa[:, 2:3]
+        Ya = f + 0.3 * rng.randn(n_all, 1)
+        X, Y = Xa[:args.rows], Ya[:args.rows]
+        X_te, Y_te = Xa[args.rows:], Ya[args.rows:]
         src = "synthetic"
     X = np.asarray(X, np.float32)
     Y = np.asarray(Y, np.float32)
+    X_te = np.asarray(X_te, np.float32)
+    Y_te = np.asarray(Y_te, np.float32)
     N = X.shape[0]
 
     Z0 = kmeans_centers(X[:200000], args.M, n_init=1)
@@ -78,10 +97,30 @@ def main():
                                flow_inits=finits)
 
     loaders = [DataLoader(ArrayDataset(X, Y), args.batch, seed=0),
-               DataLoader(ArrayDataset(X[:50000], Y[:50000]), args.batch,
+               DataLoader(ArrayDataset(X_te, Y_te), args.batch,
                           shuffle=False)]
     tr = Trainer(spec, params, loaders, Y_std=np.ones(1), S_test=20)
     steps_per_epoch = N // args.batch
+
+    if args.checkpoints:
+        cps = [int(c) for c in args.checkpoints.split(",")]
+        done, wall = 0, 0.0
+        for cp in cps:
+            t0 = time.time()
+            tr.train(cp - done, 0.01, "adam", verbose_each=0,
+                     natgrad_gamma=args.natgrad)
+            wall += time.time() - t0
+            done = cp
+            m = tr._metrics_for_loader(tr.test_loader)
+            print(json.dumps({
+                "source": src, "rows": N, "M": args.M, "batch": args.batch,
+                "gamma": args.natgrad, "epoch": cp,
+                "train_wall_s": round(wall, 2),
+                "test_nll": round(float(-m["logL"][0]), 4),
+                "test_rmse": round(float(m["rmse"][0]), 4),
+                "final_elbo": round(float(tr.loss_curve[-1]), 2),
+            }), flush=True)
+        return
 
     t0 = time.time()
     tr.train(1, 0.01, "adam", verbose_each=0)   # includes compile

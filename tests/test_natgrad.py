@@ -170,3 +170,42 @@ def test_natgrad_on_dp_mesh_matches_unsharded():
                     jax.tree_util.tree_leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_natgrad_minibatch_scan_matches_host_loop():
+    """natgrad_gamma on the device-resident minibatch path (one epoch = one
+    scanned device program, incl. the drop_last=False tail step) reproduces
+    the host per-batch loop — minibatch stochastic NGD (Salimbeni et al.
+    2018's SVI regime) goes through the exact same fused step either way."""
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+
+    rs = np.random.RandomState(5)
+    N, Dx, M = 70, 3, 6                 # batch 32 -> 2 full + tail of 6
+    X = rs.randn(N, Dx)
+    Y = np.sinh(0.7 * np.asarray(X[:, :1])) + 0.1 * rs.randn(N, 1)
+    spec = Mm.svgp_spec(Dy=1, Dx=Dx, M=M, N=float(N),
+                        kernel=K.from_name("scale_rbf"),
+                        likelihood=LikelihoodSpec("gaussian", 1))
+
+    def run(device_resident):
+        params = Mm.init_tgp_params(
+            spec, X, X[:M].copy(), variance_scale=1e-5,
+            kernel_init={"length_scale": 2.0, "kernel_scale": 2.0})
+        loaders = [DataLoader(ArrayDataset(X, Y), 32, seed=3),
+                   DataLoader(ArrayDataset(X, Y), 32, shuffle=False)]
+        tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=1)
+        if not device_resident:
+            tr.DEVICE_RESIDENT_BYTES = 0   # force the host loop
+        tr.train(6, 0.05, "adam", verbose_each=0, natgrad_gamma=0.2)
+        return tr
+
+    dev, host = run(True), run(False)
+    assert np.isfinite(dev.loss_curve).all()
+    # q(U) moved (it is frozen out of Adam; movement == the NGD step ran
+    # inside the scanned epoch program)
+    assert float(jnp.max(jnp.abs(dev.params["q_mu"]))) > 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(dev.params),
+                    jax.tree_util.tree_leaves(host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
