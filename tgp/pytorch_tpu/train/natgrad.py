@@ -183,14 +183,3 @@ def natgrad_multiseed_step(spec, optimizer, gamma):
         return p, s, aux
 
     return step
-
-
-def natgrad_mask(params):
-    """optax.multi_transform label tree: 'ngd' for q(U) leaves (excluded
-    from the gradient optimizer), 'opt' for everything else."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: "ngd" if any(
-            getattr(p, "key", None) in ("q_mu", "q_L") for p in path
-        ) else "opt",
-        params,
-    )

@@ -477,6 +477,10 @@ class Trainer:
                 raise NotImplementedError(
                     "natgrad_gamma is not supported with lbfgs (two solvers "
                     "fighting over one objective)")
+            if not (isinstance(self.params, dict) and "q_mu" in self.params):
+                raise NotImplementedError(
+                    "natgrad_gamma needs a single-layer q(U) at "
+                    "params['q_mu'/'q_L']; deep stacks keep Adam on q")
             paths = param_paths(self.params)
             frozen = jax.tree_util.tree_map(
                 lambda fr, p: bool(fr) or p.endswith("q_mu") or p.endswith("q_L"),
