@@ -209,3 +209,48 @@ def test_natgrad_minibatch_scan_matches_host_loop():
                     jax.tree_util.tree_leaves(host.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=1e-6)
+
+
+def test_natgrad_composes_with_id_hypernets():
+    """--model ID_TGP --natgrad is a legal CLI combination: the fused step
+    must also carry MC-dropout hypernet flows (rng-driven masks inside the
+    ELBO) and the VI-hypernet flow-KLD term, with q(U) on NGD and the nets
+    on Adam."""
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+
+    rs = np.random.RandomState(7)
+    N, Dx, M = 60, 2, 8
+    X = rs.randn(N, Dx)
+    Y = np.sinh(0.8 * np.asarray(X[:, :1])) + 0.1 * rs.randn(N, 1)
+
+    from tgp.pytorch_tpu.flows.initializers import fit_hypernet_to_anchors
+
+    for inference in ("MC_dropout", "mean_field_gaussian"):
+        np.random.seed(0)
+        fl = G.SAL(1, input_dependent=True, input_dim=Dx, hidden_dim=8,
+                   dropout=(0.25 if inference == "MC_dropout" else 0.0),
+                   inference=inference)
+        fspec, finits = spec_from_list(fl)
+        spec = Mm.TGPSpec(Dy=1, Dx=Dx, M=M, N=float(N),
+                          kernel=K.from_name("scale_rbf"),
+                          likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                    quad_points=20),
+                          flow=fspec)
+        params = Mm.init_tgp_params(spec, X, X[:M].copy(),
+                                    variance_scale=1e-5,
+                                    kernel_init={"length_scale": 2.0,
+                                                 "kernel_scale": 2.0},
+                                    flow_inits=finits)
+        # the identity anchor fit the CLI always runs for ID flows —
+        # required for VI-hypernet fp32 stability (CLAUDE.md / flow
+        # initializer docs); shortened for test speed
+        params["flow"], _ = fit_hypernet_to_anchors(
+            spec.flow, params["flow"], [X], num_epochs=400)
+        loaders = [DataLoader(ArrayDataset(X, Y), N, shuffle=False)]
+        tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
+        tr.train(30, 0.01, "adam", verbose_each=0, natgrad_gamma=0.5)
+        assert np.isfinite(tr.loss_curve).all(), inference
+        assert tr.loss_curve[-1] > tr.loss_curve[0], inference
+        assert float(jnp.max(jnp.abs(tr.params["q_mu"]))) > 1e-3, inference
