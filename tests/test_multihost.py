@@ -137,3 +137,52 @@ def test_layered_dp_ty_cluster():
     assert outs[0]["elbo"] == outs[1]["elbo"]
     assert np.isfinite(outs[0]["elbo"])
     assert np.isfinite(outs[0]["test_nll"])
+
+
+@pytest.mark.skipif(os.environ.get("TGP_SKIP_MULTIHOST") == "1",
+                    reason="multi-process cluster test disabled")
+def test_natgrad_on_two_process_cluster():
+    """natgrad_gamma composes with the multi-process (DCN) tier: the fused
+    NGD step's triangular work replicates per process while the ELBO/grad
+    psum crosses DCN — state must stay identical on both processes and
+    match the single-process 8-device mesh natgrad run."""
+    outs = _spawn_cluster(extra=("--natgrad", "1.0"))
+    assert outs[0]["param_md5"] == outs[1]["param_md5"]
+    assert outs[0]["elbo"] == outs[1]["elbo"]
+    assert np.isfinite(outs[0]["elbo"])
+
+    # single-process 8-device reference with the same gamma
+    import jax
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as Mm
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    N, Dy = 256, 1
+    X = np.asarray(rng.randn(N, 3), np.float32)
+    W = rng.randn(3, Dy)
+    Y = np.asarray(np.sinh(0.8 * X @ W) + 0.1 * rng.randn(N, Dy), np.float32)
+    Xte = np.asarray(rng.randn(64, 3), np.float32)
+    Yte = np.asarray(np.sinh(0.8 * Xte @ W) + 0.1 * rng.randn(64, Dy),
+                     np.float32)
+    np.random.seed(0)
+    fspec, finits = spec_from_list(G.SAL(1))
+    spec = Mm.TGPSpec(Dy=Dy, Dx=3, M=8, N=float(N),
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", Dy,
+                                                quad_points=20),
+                      flow=fspec)
+    params = Mm.init_tgp_params(
+        spec, X, X[:8].copy(), variance_scale=1e-5,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0},
+        noise_init=0.05, flow_inits=finits)
+    loaders = [DataLoader(ArrayDataset(X, Y), N, seed=7),
+               DataLoader(ArrayDataset(Xte, Yte), N, shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(Dy), seed=3,
+                 mesh=make_mesh(dp=8, ty=1))
+    tr.train(EPOCHS, 0.01, "adam", verbose_each=0, natgrad_gamma=1.0)
+    assert np.isclose(outs[0]["elbo"], float(tr.loss_curve[-1]), rtol=2e-3)

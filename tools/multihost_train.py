@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--Dy", type=int, default=1)
     ap.add_argument("--ty", type=int, default=1,
                     help="output-parallel axis size (stays intra-host)")
+    ap.add_argument("--natgrad", type=float, default=None,
+                    help="natural-gradient VI gamma (train/natgrad.py)")
     args = ap.parse_args()
 
     from tgp.pytorch_tpu.parallel import multihost as mh
@@ -85,7 +87,8 @@ def main():
                DataLoader(ArrayDataset(Xte, Yte), bs, shuffle=False)]
     tr = Trainer(spec, params, loaders, Y_std=np.ones(args.Dy), seed=3,
                  mesh=mesh)
-    tr.train(args.epochs, 0.01, "adam", verbose_each=0)
+    tr.train(args.epochs, 0.01, "adam", verbose_each=0,
+             natgrad_gamma=args.natgrad)
 
     final_elbo = float(tr.loss_curve[-1])
     # distributed evaluation: every process evaluates its row shard, the
