@@ -123,15 +123,18 @@ def main():
         return
 
     t0 = time.time()
-    tr.train(1, 0.01, "adam", verbose_each=0)   # includes compile
+    tr.train(1, 0.01, "adam", verbose_each=0,
+             natgrad_gamma=args.natgrad)   # includes compile
     compile_epoch = time.time() - t0
     t0 = time.time()
-    tr.train(args.epochs, 0.01, "adam", verbose_each=0)
+    tr.train(args.epochs, 0.01, "adam", verbose_each=0,
+             natgrad_gamma=args.natgrad)
     dt = time.time() - t0
     sps = args.epochs * steps_per_epoch / dt
     elbo = float(tr.loss_curve[-1])
     print(json.dumps({
         "source": src, "rows": N, "M": args.M, "batch": args.batch,
+        "gamma": args.natgrad,
         "solves": ("fast_" + args.solve_precision if args.fast_solves
                    else "trsm_" + args.solve_precision),
         "steps_per_sec": round(sps, 1),

@@ -51,6 +51,12 @@ def build(model, dataset, M, seed_split):
         # same table-arch dispatch as experiments/main.py (non-Step archs)
         import flow_arch as FA
         hp = return_hyperparams("TGP", dataset)
+        if hp["flow_arch"] not in FA._PLAIN_ARCHS:
+            raise SystemExit(
+                f"natgrad_bench supports plain-arch datasets only "
+                f"({', '.join(FA._PLAIN_ARCHS)}); {dataset}'s table arch is "
+                f"{hp['flow_arch']} (needs the identity-fit initializer — "
+                f"use experiments/main.py --natgrad instead)")
         np.random.seed(cfg.config_seed)
         fspec, finits = FA.build_point_flow(hp["flow_arch"],
                                             hp["num_blocks"])

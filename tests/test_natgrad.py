@@ -254,3 +254,19 @@ def test_natgrad_composes_with_id_hypernets():
         assert np.isfinite(tr.loss_curve).all(), inference
         assert tr.loss_curve[-1] > tr.loss_curve[0], inference
         assert float(jnp.max(jnp.abs(tr.params["q_mu"]))) > 1e-3, inference
+
+
+def test_natgrad_gamma_zero_rejected():
+    """gamma=0 would freeze q(U) out of BOTH optimizers (the frozen mask
+    removes it from Adam while the NGD step is a no-op) — must raise."""
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.train.multiseed import _natgrad_extras
+    spec, params, X, Y = _svgp()
+    loaders = [DataLoader(ArrayDataset(np.asarray(X), np.asarray(Y)),
+                          int(X.shape[0]), shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
+    with pytest.raises(ValueError, match="natgrad_gamma must be > 0"):
+        tr.train(5, 0.1, "adam", natgrad_gamma=0.0)
+    with pytest.raises(ValueError, match="natgrad_gamma must be > 0"):
+        _natgrad_extras(params, -1.0)

@@ -108,6 +108,20 @@ def init_hypernet(spec: HyperNetSpec, key, dtype=None):
     return {"layers": layers}
 
 
+LOGVAR_CAP = 30.0
+
+
+def _exp_lin(lv, cap=LOGVAR_CAP):
+    """exp with a linear tail past `cap`: finite in fp32 (exp(88) infs)
+    while keeping a positive d/dlv so the KLD can still push a runaway
+    logvar back down (a plain clip zeroes that gradient).  Used by BOTH
+    the sampled forward's variance and the KLD term so the objective and
+    its gradient agree in the runaway band."""
+    return jnp.where(lv > cap,
+                     jnp.exp(cap) * (1.0 + (lv - cap)),
+                     jnp.exp(jnp.minimum(lv, cap)))
+
+
 def _batch_norm(layer_bn, h, use_batch_stats: bool, eps: float = 1e-5):
     """BatchNorm over all leading axes of h (..., dout).
 
@@ -160,10 +174,12 @@ def apply_hypernet(spec: HyperNetSpec, params, X, *, rng=None,
             if mean_only or not stochastic:
                 s = mu
             else:
-                # clip before exp: a transient logvar spike past ~88 would
-                # inf fp32 where the reference's fp64 survives to 709
-                var = ((h ** 2) @ jnp.exp(jnp.clip(layer["w_logvar"], -60.0, 30.0))
-                       + jnp.exp(jnp.clip(layer["b_logvar"], -60.0, 30.0)))
+                # linear-tail exp past LOGVAR_CAP: a transient logvar spike
+                # past ~88 would inf fp32 where the reference's fp64
+                # survives to 709.  Same form as the KLD term so objective
+                # and gradient stay consistent in the runaway band.
+                var = ((h ** 2) @ _exp_lin(layer["w_logvar"])
+                       + _exp_lin(layer["b_logvar"]))
                 if rng is None:
                     raise ValueError("VI hypernet sampling requires an rng")
                 rng, sub = jax.random.split(rng)
@@ -211,15 +227,6 @@ def hypernet_kld(spec: HyperNetSpec, params):
     if spec.inference != "mean_field_gaussian":
         return jnp.zeros(())
     p_logvar = jnp.log(jnp.asarray(spec.prior_var))
-
-    def _exp_lin(lv, cap=60.0):
-        # exp with a linear tail past `cap`: finite in fp32 (exp(88) infs)
-        # while keeping a positive d/dlv so the KLD can still push a
-        # runaway logvar back down (a plain clip zeroes that gradient)
-        return jnp.where(lv > cap,
-                         jnp.exp(cap) * (1.0 + (lv - cap)),
-                         jnp.exp(jnp.minimum(lv, cap)))
-
     total = 0.0
     for layer in params["layers"]:
         for m_key, lv_key in (("w_mean", "w_logvar"), ("b_mean", "b_logvar")):

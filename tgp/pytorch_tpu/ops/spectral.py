@@ -30,8 +30,13 @@ def estimate_spectral_density(x, y, prominence: float = 1000.0,
     emp_spect = np.abs(np.fft.rfft(y) ** 2) / N
     freq = np.fft.rfftfreq(N, d=abs(x[1] - x[0]))
     peaks, _ = find_peaks(emp_spect, prominence=prominence)
+    # skip the zero-frequency bin ENTIRELY so freqs/periods/powers stay
+    # aligned parallel lists (callers argsort powers and index periods);
+    # find_peaks cannot pick index 0 of an rfft grid today, but a filter
+    # on one list only would silently desynchronize them if that changes
+    peaks = [i for i in peaks if freq[i] != 0]
     freqs = [freq[i] for i in peaks]
-    periods = [1.0 / f for f in freqs if f != 0]
+    periods = [1.0 / f for f in freqs]
     if return_power:
         powers = [float(emp_spect[i]) for i in peaks]
         return freqs, periods, powers

@@ -206,6 +206,11 @@ def _natgrad_extras(params_stack, natgrad_gamma):
     when natural-gradient VI is on (see train/natgrad.py)."""
     if natgrad_gamma is None:
         return None, False
+    if natgrad_gamma <= 0.0:
+        raise ValueError(
+            f"natgrad_gamma must be > 0 (got {natgrad_gamma}); gamma=0 "
+            "would freeze q(U) out of BOTH optimizers — pass None to train "
+            "q(U) with the gradient optimizer")
     from .optimizers import param_paths
     paths = param_paths(params_stack)
     extra = jax.tree_util.tree_map(
@@ -247,13 +252,16 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     axis R, as `stack_trees` produces) — the mesh pad/slice/shard helpers
     identify replica leaves purely by `shape[0] == R` and would silently
     pad/truncate a leaf whose leading dim coincidentally equals R without
-    being replica-stacked.  Asserted below.
+    being replica-stacked.  Checked (ValueError) below.
     """
     R = X_stack.shape[0]
     for leaf in jax.tree_util.tree_leaves(params_stack):
-        assert jnp.ndim(leaf) >= 1 and jnp.shape(leaf)[0] == R, (
-            f"params_stack leaf shape {jnp.shape(leaf)} lacks the leading "
-            f"replica axis R={R}; build stacks with stack_trees")
+        # a real error, not an assert: `python -O` must not restore the
+        # silent pad/truncate hazard the docstring above warns about
+        if jnp.ndim(leaf) < 1 or jnp.shape(leaf)[0] != R:
+            raise ValueError(
+                f"params_stack leaf shape {jnp.shape(leaf)} lacks the "
+                f"leading replica axis R={R}; build stacks with stack_trees")
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(

@@ -89,18 +89,22 @@ def natgrad_apply(spec, params, dm, dS, gamma, max_halvings: int = 8):
     def ok(vals):
         return jnp.all(jnp.isfinite(vals[0])) & jnp.all(jnp.isfinite(vals[1]))
 
+    # the attempted (m, L) ride in the carry so the common no-halving case
+    # factorises exactly once (attempt() is the O(nq M^3) block)
     def cond(carry):
-        g, k, good = carry
+        g, k, good, _, _ = carry
         return (~good) & (k < max_halvings)
 
     def body(carry):
-        g, k, _ = carry
+        g, k, _, _, _ = carry
         g = g * 0.5
-        return g, k + 1, ok(attempt(g))
+        m_t, L_t = attempt(g)
+        return g, k + 1, ok((m_t, L_t)), m_t, L_t
 
     g0 = jnp.asarray(gamma, Lq.dtype)
-    g, _, good = jax.lax.while_loop(cond, body, (g0, 0, ok(attempt(g0))))
-    m_new, L_new = attempt(g)
+    m0, L0 = attempt(g0)
+    _, _, good, m_new, L_new = jax.lax.while_loop(
+        cond, body, (g0, 0, ok((m0, L0)), m0, L0))
     m_new = jnp.where(good, m_new, m)
     L_new = jnp.where(good, L_new, Lq)
     return dict(params, q_mu=m_new, q_L=L_new)

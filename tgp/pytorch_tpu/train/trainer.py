@@ -473,6 +473,11 @@ class Trainer:
             # natural-gradient VI (train/natgrad.py): q(U) leaves leave the
             # gradient optimizer entirely (the frozen mask) and are updated
             # by the natural-gradient step appended to every train step.
+            if natgrad_gamma <= 0.0:
+                raise ValueError(
+                    f"natgrad_gamma must be > 0 (got {natgrad_gamma}); "
+                    "gamma=0 would freeze q(U) out of BOTH optimizers — "
+                    "pass None to train q(U) with the gradient optimizer")
             if opt == "lbfgs":
                 raise NotImplementedError(
                     "natgrad_gamma is not supported with lbfgs (two solvers "
