@@ -73,7 +73,8 @@ def main():
     p.add_argument("--natgrad", type=float, default=None, metavar="GAMMA",
                    help="natural-gradient VI on q(U) for every replica "
                         "(train/natgrad.py; exact in the conjugate limit "
-                        "at GAMMA=1).  Capability beyond the reference")
+                        "at GAMMA=1; use ~0.1 for Step* archs — PARITY.md "
+                        "natgrad section).  Capability beyond the reference")
     p.add_argument("--clip_norm", type=float, default=None,
                    help="per-replica global-norm gradient clip (mitigates "
                         "inverse-Box-Cox derivative spikes)")

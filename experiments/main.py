@@ -86,8 +86,10 @@ def parse_args(argv=None):
                         "q's (m, L) leave Adam and take a natural-gradient "
                         "step of this size after every optimizer step.  "
                         "GAMMA=1.0 is exact in the conjugate limit and "
-                        "stable on the measured TGP configs; capability "
-                        "beyond the reference (PARITY.md natgrad section)")
+                        "stable on SVGP/SAL-family archs; use ~0.1 for "
+                        "Step* archs (gamma=1 mis-converges their gates — "
+                        "measured, PARITY.md natgrad section); capability "
+                        "beyond the reference")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "

@@ -267,6 +267,9 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
         jnp.asarray(Y_stack).dtype, jnp.integer) else jnp.asarray(Y_stack, dtype)
     ng_frozen, use_ng = _natgrad_extras(params_stack, natgrad_gamma)
+    if use_ng:
+        from .natgrad import warn_if_step_arch
+        warn_if_step_arch(spec, natgrad_gamma)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
                            force_grouped=carry is not None or return_state,
                            extra_frozen=ng_frozen)
@@ -386,6 +389,9 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
     Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
         jnp.asarray(Y_stack, dtype)
     ng_frozen, use_ng = _natgrad_extras(params_stack, natgrad_gamma)
+    if use_ng:
+        from .natgrad import warn_if_step_arch
+        warn_if_step_arch(spec, natgrad_gamma)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
                            force_grouped=carry is not None or return_state,
                            extra_frozen=ng_frozen)

@@ -486,6 +486,8 @@ class Trainer:
                 raise NotImplementedError(
                     "natgrad_gamma needs a single-layer q(U) at "
                     "params['q_mu'/'q_L']; deep stacks keep Adam on q")
+            from .natgrad import warn_if_step_arch
+            warn_if_step_arch(self.spec, natgrad_gamma)
             paths = param_paths(self.params)
             frozen = jax.tree_util.tree_map(
                 lambda fr, p: bool(fr) or p.endswith("q_mu") or p.endswith("q_L"),
