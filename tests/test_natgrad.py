@@ -270,3 +270,28 @@ def test_natgrad_gamma_zero_rejected():
         tr.train(5, 0.1, "adam", natgrad_gamma=0.0)
     with pytest.raises(ValueError, match="natgrad_gamma must be > 0"):
         _natgrad_extras(params, -1.0)
+
+
+def test_step_arch_warning(capsys):
+    """warn_if_step_arch fires for gamma>0.3 on a step-flow spec and stays
+    silent otherwise (measured basis: PARITY.md natgrad per-arch table)."""
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.train.natgrad import warn_if_step_arch
+
+    np.random.seed(0)
+    step_spec, _ = spec_from_list(G.StepTanhL(1, 3))
+    sal_spec, _ = spec_from_list(G.SAL(2))
+    base = Mm.svgp_spec(Dy=1, Dx=2, M=4, N=8.0,
+                        kernel=K.from_name("scale_rbf"),
+                        likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                  quad_points=10))
+    import dataclasses
+    step_tgp = dataclasses.replace(base, flow=step_spec)
+    sal_tgp = dataclasses.replace(base, flow=sal_spec)
+
+    warn_if_step_arch(step_tgp, 1.0)
+    assert "step-flow arch" in capsys.readouterr().out
+    warn_if_step_arch(step_tgp, 0.1)      # small gamma: silent
+    assert capsys.readouterr().out == ""
+    warn_if_step_arch(sal_tgp, 1.0)       # non-step arch: silent
+    assert capsys.readouterr().out == ""
