@@ -75,6 +75,10 @@ def main():
                         "(train/natgrad.py; exact in the conjugate limit "
                         "at GAMMA=1; use ~0.1 for Step* archs — PARITY.md "
                         "natgrad section).  Capability beyond the reference")
+    p.add_argument("--natgrad_warmup", type=int, default=None, metavar="K",
+                   help="linear warmup ramp for --natgrad over the first K "
+                        "epochs (full-batch batteries; fixes the Step*-arch "
+                        "gamma=1 mis-convergence — PARITY.md)")
     p.add_argument("--clip_norm", type=float, default=None,
                    help="per-replica global-norm gradient clip (mitigates "
                         "inverse-Box-Cox derivative spikes)")
@@ -135,7 +139,9 @@ def main():
                  "fast_solves": args.fast_solves,
                  "solve_precision": args.solve_precision,
                  "clip_norm": args.clip_norm,
-                 "train_seed": args.train_seed}
+                 "train_seed": args.train_seed,
+                 "natgrad": args.natgrad,
+                 "natgrad_warmup": args.natgrad_warmup}
     resume = None
     if args.ckpt and os.path.exists(args.ckpt):
         import pickle
@@ -285,7 +291,7 @@ def main():
             spec, params, Xs, Ys, args.epochs, args.lr,
             batch_size=args.batch_size, seed=args.train_seed, specs=specs,
             clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
-            natgrad_gamma=args.natgrad)
+            natgrad_gamma=args.natgrad, natgrad_warmup=args.natgrad_warmup)
         train_s = time.time() - t0
     else:
         # segmented training with post-segment checkpoints: a crash resumes
@@ -306,7 +312,8 @@ def main():
                 batch_size=args.batch_size, seed=args.train_seed, specs=specs,
                 clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
                 carry=carry, return_state=True,
-                natgrad_gamma=args.natgrad)
+                natgrad_gamma=args.natgrad,
+                natgrad_warmup=args.natgrad_warmup)
             train_s += time.time() - t0
             done += n
             curve_parts.append({k: np.asarray(v) for k, v in cv.items()})

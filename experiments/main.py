@@ -90,6 +90,11 @@ def parse_args(argv=None):
                         "Step* archs (gamma=1 mis-converges their gates — "
                         "measured, PARITY.md natgrad section); capability "
                         "beyond the reference")
+    p.add_argument("--natgrad_warmup", type=int, default=None, metavar="K",
+                   help="linear warmup ramp for --natgrad: gamma_t = GAMMA *"
+                        " min(1, (t+1)/K) over the first K optimizer steps "
+                        "(Salimbeni et al. 2018; fixes the Step*-arch "
+                        "gamma=1 mis-convergence — PARITY.md)")
     p.add_argument("--mesh", default=None, metavar="DPxTY",
                    help="multi-chip training mesh, e.g. '4x2' = 4-way data "
                         "parallel x 2-way output parallel (dp*ty must equal "
@@ -266,13 +271,15 @@ def run(args):
         trainer.train(warmup, args.lr, "adam",
                       optimisation_schedule=schedule,
                       verbose_each=args.verbose_each,
-                      natgrad_gamma=args.natgrad)
+                      natgrad_gamma=args.natgrad,
+                      natgrad_warmup=args.natgrad_warmup)
         trainer.spec = spec_final
     if args.epochs - warmup > 0:
         trainer.train(args.epochs - warmup, args.lr, "adam",
                       optimisation_schedule=schedule,
                       verbose_each=args.verbose_each,
-                      natgrad_gamma=args.natgrad)
+                      natgrad_gamma=args.natgrad,
+                      natgrad_warmup=args.natgrad_warmup)
     train_time = time.time() - t0
 
     if args.checkpoint_dir:

@@ -295,3 +295,108 @@ def test_step_arch_warning(capsys):
     assert capsys.readouterr().out == ""
     warn_if_step_arch(sal_tgp, 1.0)       # non-step arch: silent
     assert capsys.readouterr().out == ""
+
+
+def _msvgp(R=3, N=40, Dx=2, M=8):
+    from tgp.pytorch_tpu.train import multiseed as ms
+    rs = np.random.RandomState(0)
+    Xs = rs.randn(R, N, Dx)
+    Ys = rs.randn(R, N, 1)
+    spec = Mm.svgp_spec(Dy=1, Dx=Dx, M=M, N=float(N),
+                        kernel=K.from_name("scale_rbf"),
+                        likelihood=LikelihoodSpec("gaussian", 1))
+    stack = ms.stack_trees([
+        Mm.init_tgp_params(spec, Xs[r], Xs[r][:M].copy(), variance_scale=1e-5,
+                           kernel_init={"length_scale": 2.0,
+                                        "kernel_scale": 2.0})
+        for r in range(R)])
+    return spec, stack, Xs, Ys
+
+
+def test_warmup_one_is_constant_gamma():
+    """The warmup ramp's threading must be exact: warmup=1 means gamma_t =
+    gamma * min(1, (t+1)/1) = gamma at every step, so the Trainer run and
+    the battery run must BIT-match their constant-gamma twins."""
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.train import multiseed as ms
+
+    spec, params, X, Y = _svgp()
+
+    def run(warmup):
+        loaders = [DataLoader(ArrayDataset(np.asarray(X), np.asarray(Y)),
+                              int(X.shape[0]), shuffle=False)]
+        tr = Trainer(spec, jax.tree_util.tree_map(jnp.copy, params), loaders,
+                     Y_std=np.ones(1), seed=0)
+        tr.train(8, 0.01, "adam", verbose_each=0, natgrad_gamma=0.7,
+                 natgrad_warmup=warmup)
+        return tr
+
+    a, b = run(None), run(1)
+    assert np.array_equal(np.asarray(a.params["q_mu"]),
+                          np.asarray(b.params["q_mu"]))
+    assert np.allclose(a.loss_curve, b.loss_curve)
+
+    mspec, stack, Xs, Ys = _msvgp()
+    pa, _ = ms.train_multiseed(mspec, jax.tree_util.tree_map(jnp.copy, stack),
+                               Xs, Ys, 6, 0.01, natgrad_gamma=0.7)
+    pb, _ = ms.train_multiseed(mspec, stack, Xs, Ys, 6, 0.01,
+                               natgrad_gamma=0.7, natgrad_warmup=1)
+    assert np.array_equal(np.asarray(pa["q_mu"]), np.asarray(pb["q_mu"]))
+
+
+def test_warmup_ramps_and_carries():
+    """A warmup < epochs changes the early trajectory (the ramp is real)
+    and a checkpoint-split battery continues the ramp bit-identically
+    across the boundary (ng_t rides the carried state)."""
+    from tgp.pytorch_tpu.train import multiseed as ms
+    spec, stack, Xs, Ys = _msvgp()
+    cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    pu, cu = ms.train_multiseed(spec, cp(stack), Xs, Ys, 8, 0.01,
+                                natgrad_gamma=0.7, natgrad_warmup=6)
+    pc, cc = ms.train_multiseed(spec, cp(stack), Xs, Ys, 8, 0.01,
+                                natgrad_gamma=0.7)
+    assert not np.allclose(cu["elbo"][:3], cc["elbo"][:3])
+
+    p1, _, st = ms.train_multiseed(spec, cp(stack), Xs, Ys, 4, 0.01,
+                                   natgrad_gamma=0.7, natgrad_warmup=6,
+                                   return_state=True)
+    assert st["ng_t"] == 4
+    p2, _ = ms.train_multiseed(spec, p1, Xs, Ys, 4, 0.01,
+                               natgrad_gamma=0.7, natgrad_warmup=6, carry=st)
+    assert np.array_equal(np.asarray(pu["q_mu"]), np.asarray(p2["q_mu"]))
+
+
+def test_warmup_conjugate_exact_after_ramp():
+    """Once the ramp reaches gamma=1, a conjugate step still lands on the
+    optimal q(U) (the schedule must not break the fixed point): train with
+    fixed hypers past the warmup and check dELBO/d(m,S) ~ 0."""
+    from tgp.pytorch_tpu.train.natgrad import natgrad_update, gamma_at
+    spec, params, X, Y = _svgp()
+    assert float(gamma_at(1.0, 4, 0)) == 0.25
+    assert float(gamma_at(1.0, 4, 3)) == 1.0
+    assert float(gamma_at(1.0, 4, 100)) == 1.0
+    p = params
+    for t in range(5):
+        p = natgrad_update(spec, p, X, Y, jax.random.PRNGKey(0),
+                           float(gamma_at(1.0, 4, t)))
+    # next full step must be a no-op (fixed point)
+    p2 = natgrad_update(spec, p, X, Y, jax.random.PRNGKey(0), 1.0)
+    d = float(jnp.max(jnp.abs(p2["q_mu"] - p["q_mu"])))
+    assert d < 1e-4, d
+
+
+def test_warmup_requires_gamma():
+    from tgp.pytorch_tpu.train.trainer import Trainer
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.train import multiseed as ms
+    spec, params, X, Y = _svgp()
+    loaders = [DataLoader(ArrayDataset(np.asarray(X), np.asarray(Y)),
+                          int(X.shape[0]), shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
+    with pytest.raises(ValueError, match="natgrad_warmup needs"):
+        tr.train(2, 0.01, "adam", natgrad_warmup=5)
+    mspec, stack, Xs, Ys = _msvgp()
+    with pytest.raises(ValueError, match="natgrad_warmup needs"):
+        ms.train_multiseed(mspec, stack, Xs, Ys, 2, 0.01, natgrad_warmup=5)

@@ -222,7 +222,8 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
                     lr: float, opt: str = "adam", seed: int = 0,
                     chunk: int = 2000, clip_norm=None, verbose_each: int = 0,
                     specs=None, mesh=None, carry=None,
-                    return_state: bool = False, natgrad_gamma=None):
+                    return_state: bool = False, natgrad_gamma=None,
+                    natgrad_warmup=None):
     """Train R replicas full-batch for `epochs` steps, vmapped.
 
     Args:
@@ -287,15 +288,19 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     if use_ng:
         from .natgrad import natgrad_multiseed_step
         ng_step = natgrad_multiseed_step(spec, optimizer, natgrad_gamma)
+    if natgrad_warmup is not None and not use_ng:
+        raise ValueError("natgrad_warmup needs natgrad_gamma")
+    # warmup ramp continuity across carried calls rides the state dict
+    ng_t = int(carry.get("ng_t", 0)) if isinstance(carry, dict) else 0
 
     @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
-    def run(params, opt_state, Xd, Yd, rngs, n_steps):
-        def body(carry, _):
+    def run(params, opt_state, Xd, Yd, rngs, n_steps, gammas=None):
+        def body(carry, g):
             p, s, keys = carry
             split = jax.vmap(jax.random.split)(keys)       # (R, 2, 2)
             keys, sub = split[:, 0], split[:, 1]
             if ng_step is not None:
-                p, s, (e, ell, kld) = ng_step(p, s, Xd, Yd, sub)
+                p, s, (e, ell, kld) = ng_step(p, s, Xd, Yd, sub, g)
                 return (p, s, keys), (e, ell, kld)
 
             def loss_fn(pp):
@@ -313,7 +318,7 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
             return (p, s, keys), (e, ell, kld)
 
         (params, opt_state, rngs), curves = jax.lax.scan(
-            body, (params, opt_state, rngs), None, length=n_steps)
+            body, (params, opt_state, rngs), gammas, length=n_steps)
         return params, opt_state, rngs, curves
 
     curves_all = {"elbo": [], "ell": [], "kld": []}
@@ -323,8 +328,14 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     done = 0
     while done < epochs:
         n = min(chunk, epochs - done)
+        gs = None
+        if natgrad_warmup is not None:
+            from .natgrad import gamma_at
+            gs = jnp.asarray(gamma_at(natgrad_gamma, natgrad_warmup,
+                                      np.arange(ng_t, ng_t + n)), dtype)
+            ng_t += n
         params_stack, opt_state, rngs, (e, ell, kld) = run(
-            params_stack, opt_state, Xd, Yd, rngs, n)
+            params_stack, opt_state, Xd, Yd, rngs, n, gs)
         prev = done
         done += n
         curves_all["elbo"].append(np.asarray(e)[:, :R_out])
@@ -349,7 +360,8 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
         return params_stack, curves, {"opt_state": opt_state,
                                       "rngs": _host_rngs(rngs),
                                       "opt_kind": opt,
-                                      "clip_norm": clip_norm}
+                                      "clip_norm": clip_norm,
+                                      "ng_t": ng_t}
     return params_stack, curves
 
 
@@ -359,7 +371,7 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                               clip_norm=None, verbose_each: int = 0,
                               specs=None, mesh=None, carry=None,
                               return_state: bool = False,
-                              natgrad_gamma=None):
+                              natgrad_gamma=None, natgrad_warmup=None):
     """Minibatch-SVI battery: R replicas, each shuffling its own split with
     its own seeded generator (the Trainer's device-resident fast path,
     vmapped over the seed axis).  One epoch = one device program; the only
@@ -382,7 +394,13 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                                verbose_each=verbose_each, specs=specs,
                                mesh=mesh, carry=carry,
                                return_state=return_state,
-                               natgrad_gamma=natgrad_gamma)
+                               natgrad_gamma=natgrad_gamma,
+                               natgrad_warmup=natgrad_warmup)
+    if natgrad_warmup is not None:
+        raise NotImplementedError(
+            "natgrad_warmup is full-batch-only in the vectorized batteries "
+            "(the Trainer's minibatch path supports it; the measured Step*-"
+            "arch failure mode is a full-batch protocol)")
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)

@@ -129,6 +129,19 @@ def natgrad_update(spec, params, X, Y, rng, gamma, max_halvings: int = 8):
                          max_halvings=max_halvings)
 
 
+def gamma_at(gamma, warmup, t):
+    """Linear warmup ramp: gamma * min(1, (t + 1) / warmup).
+
+    Salimbeni, Eleftheriadis & Hensman (2018) ramp the NGD step size from
+    small to its final value over the first iterations; here it fixes the
+    measured Step*-arch failure mode (PARITY.md natgrad section): the very
+    first FULL-size step lands q(U) on the conditional optimum of a
+    still-uncalibrated step warp whose saturated gates never recover.
+    Ramping lets q track the warp while both calibrate.  `t` may be a
+    numpy array (host-side chunk precompute) or a traced scalar."""
+    return gamma * jnp.minimum(1.0, (t + 1.0) / float(warmup))
+
+
 def natgrad_train_step(spec, optimizer, gamma):
     """Build the fused hybrid step: one backward pass yields both the
     hyperparameter gradients (consumed by `optimizer`; q(U) leaves are
@@ -137,9 +150,12 @@ def natgrad_train_step(spec, optimizer, gamma):
 
         step(params, opt_state, X, Y, rng) -> (params, opt_state,
                                                (elbo, ell, kld))
+
+    The optional 6th argument overrides gamma per call (traced scalar —
+    the warmup ramp's hook); omitted, the closure constant applies.
     """
 
-    def step(p, s, X, Y, r):
+    def step(p, s, X, Y, r, g=None):
         m, Lq, S = _qu_ms(p)
 
         def loss_fn(pp, m_, S_):
@@ -148,11 +164,12 @@ def natgrad_train_step(spec, optimizer, gamma):
                                        X, Y, r)
             return -e, (ell, kld)
 
-        (neg_e, (ell, kld)), (g, gm, gS) = jax.value_and_grad(
+        (neg_e, (ell, kld)), (gr, gm, gS) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(p, m, S)
-        updates, s = optimizer.update(g, s, p)
+        updates, s = optimizer.update(gr, s, p)
         p = optax.apply_updates(p, updates)
-        p = natgrad_apply(spec, p, -gm, -_sym(gS), gamma)
+        p = natgrad_apply(spec, p, -gm, -_sym(gS),
+                          gamma if g is None else g)
         return p, s, (-neg_e, ell, kld)
 
     return step
@@ -165,9 +182,11 @@ def natgrad_multiseed_step(spec, optimizer, gamma):
     natural-gradient application is vmapped over R.
 
         step(p, s, xb, yb, sub) -> (p, s, (e, ell, kld))   # (R,) curves
-    """
 
-    def step(p, s, xb, yb, sub):
+    The optional 6th argument overrides gamma per call (one traced scalar
+    shared by all replicas — the warmup ramp's hook)."""
+
+    def step(p, s, xb, yb, sub, g=None):
         m, Lq, S = _qu_ms(p)     # (R, nq, M) / (R, nq, M, M); all ops batch
 
         def loss_fn(pp, m_, S_):
@@ -177,12 +196,12 @@ def natgrad_multiseed_step(spec, optimizer, gamma):
             )(dict(pp, q_mu=m_, q_L=L_), xb, yb, sub)
             return -jnp.sum(e), (e, ell, kld)
 
-        (_, aux), (g, gm, gS) = jax.value_and_grad(
+        (_, aux), (gr, gm, gS) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(p, m, S)
-        updates, s = optimizer.update(g, s, p)
-        p = optax.apply_updates(p, updates)
+        updates, s = optimizer.update(gr, s, p)
+        gg = gamma if g is None else g
         p = jax.vmap(
-            lambda pr, dmr, dSr: natgrad_apply(spec, pr, dmr, dSr, gamma)
+            lambda pr, dmr, dSr: natgrad_apply(spec, pr, dmr, dSr, gg)
         )(p, -gm, -_sym(gS))
         return p, s, aux
 

@@ -290,6 +290,16 @@ class Trainer:
               "optimizer moments carried", flush=True)
         return True
 
+    def _chunk_gammas(self, n: int):
+        """Next n values of the natgrad warmup ramp (advances the global
+        step counter).  Host-side precompute; rides the scan as xs."""
+        from .natgrad import gamma_at
+        t = np.arange(self._ng_t, self._ng_t + n)
+        self._ng_t += n
+        return jnp.asarray(
+            gamma_at(self._natgrad_gamma, self._natgrad_warmup, t),
+            cfg.default_dtype())
+
     def _make_train_step(self, optimizer):
         spec = self.spec
 
@@ -328,21 +338,21 @@ class Trainer:
         gamma = getattr(self, "_natgrad_gamma", None)
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def run_epoch(params, opt_state, Xd, Yd, perm, rng):
+        def run_epoch(params, opt_state, Xd, Yd, perm, rng, gammas=None):
             n_batches = perm.shape[0] // MB
             idx = perm[:n_batches * MB].reshape(n_batches, MB)
             rngs = jax.random.split(rng, n_batches)
 
             def body(carry, inp):
                 p, s = carry
-                ids, r = inp
+                ids, r, g = inp
                 xb = jnp.take(Xd, ids, axis=0)
                 yb = jnp.take(Yd, ids, axis=0)
                 xb, yb = self._batch_constraint(xb, yb)
                 if gamma is not None:
                     from .natgrad import natgrad_train_step
                     p, s, out = natgrad_train_step(spec, optimizer, gamma)(
-                        p, s, xb, yb, r)
+                        p, s, xb, yb, r, g)
                     return (p, s), out
 
                 def loss_fn(pp):
@@ -355,8 +365,10 @@ class Trainer:
                 p = optax.apply_updates(p, updates)
                 return (p, s), (-neg_e, ell, kld)
 
+            gs = (jnp.full((n_batches,), gamma or 0.0, cfg.default_dtype())
+                  if gammas is None else gammas)
             (params, opt_state), curves = jax.lax.scan(
-                body, (params, opt_state), (idx, rngs))
+                body, (params, opt_state), (idx, rngs, gs))
             return params, opt_state, curves
 
         return run_epoch
@@ -412,9 +424,33 @@ class Trainer:
         configs: batch 10000 >= N for boston/power, code/main.py:74), the
         epoch loop is a `lax.scan` over steps — thousands of epochs execute
         per device call, amortising host->device dispatch latency entirely.
+
+        With a natgrad warmup ramp the per-step gamma values ride the scan
+        as a second xs array (host-precomputed per chunk) — the constant-
+        gamma and plain-Adam programs are unchanged.
         """
         spec = self.spec
         gamma = getattr(self, "_natgrad_gamma", None)
+        warm = getattr(self, "_natgrad_warmup", None)
+
+        if gamma is not None and warm:
+            from .natgrad import natgrad_train_step
+            ng = natgrad_train_step(spec, optimizer, gamma)
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def run_steps_warm(params, opt_state, X, Y, rng, gammas):
+                def body(carry, xs):
+                    p, s = carry
+                    r, g = xs
+                    p, s, out = ng(p, s, X, Y, r, g)
+                    return (p, s), out
+
+                rngs = jax.random.split(rng, gammas.shape[0])
+                (params, opt_state), curves = jax.lax.scan(
+                    body, (params, opt_state), (rngs, gammas))
+                return params, opt_state, curves
+
+            return run_steps_warm
 
         @partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1))
         def run_steps(params, opt_state, X, Y, rng, n_steps):
@@ -445,7 +481,8 @@ class Trainer:
     def train(self, epochs: int, lr_ALL: float, opt: str = "adam",
               optimisation_schedule=None, verbose_each: int = 100,
               clip_norm: float | None = None,
-              natgrad_gamma: float | None = None):
+              natgrad_gamma: float | None = None,
+              natgrad_warmup: int | None = None):
         """Run the optimisation loop.
 
         optimisation_schedule = (percentages, specifications) exactly like
@@ -460,6 +497,12 @@ class Trainer:
         fresh (reference trainer_base.py:271-318, `keep_parameter_groups`).
         'sgd' (momentum 0 upstream) is stateless, so its per-phase rebuild
         is observationally identical.
+
+        natgrad_warmup: linear ramp gamma_t = natgrad_gamma * min(1,
+        (t+1)/K) over the first K natgrad steps (Salimbeni et al. 2018).
+        The step counter t persists across train() calls while natgrad
+        stays on (schedule continuity for segmented protocols, like the
+        Adam moments) and resets when a call runs without natgrad_gamma.
         """
         if optimisation_schedule is None:
             optimisation_schedule = ([1.0], [None])
@@ -469,6 +512,18 @@ class Trainer:
 
         frozen = frozen_param_labels(self.spec, self.params)
         self._natgrad_gamma = natgrad_gamma
+        if natgrad_warmup is not None and natgrad_gamma is None:
+            raise ValueError("natgrad_warmup needs natgrad_gamma")
+        if natgrad_warmup is not None and int(natgrad_warmup) < 1:
+            raise ValueError(
+                f"natgrad_warmup must be >= 1 (got {natgrad_warmup})")
+        self._natgrad_warmup = (int(natgrad_warmup)
+                                if natgrad_warmup is not None else None)
+        # global natgrad-step counter: the warmup ramp continues across
+        # train() calls (checkpoint-segmented protocols), like the Adam
+        # moments; reset when natgrad is off
+        if natgrad_gamma is None or not hasattr(self, "_ng_t"):
+            self._ng_t = 0
         if natgrad_gamma is not None:
             # natural-gradient VI (train/natgrad.py): q(U) leaves leave the
             # gradient optimizer entirely (the frozen mask) and are updated
@@ -540,7 +595,8 @@ class Trainer:
                     n = min(chunk, phase_epochs - done,
                             ve - (ep_done % ve) if ve <= epochs else chunk)
                     self.params, opt_state, curves = run_steps(
-                        self.params, opt_state, Xd, Yd, self._next_rng(), n)
+                        self.params, opt_state, Xd, Yd, self._next_rng(),
+                        self._chunk_gammas(n) if self._natgrad_warmup else n)
                     prev_ep = ep_done
                     done += n
                     ep_done += n
@@ -597,14 +653,18 @@ class Trainer:
                             if self.train_loader.shuffle else np.arange(n))
                     self.params, opt_state, curves = run_epoch(
                         self.params, opt_state, Xd, Yd,
-                        np.asarray(perm, np.int32), self._next_rng())
+                        np.asarray(perm, np.int32), self._next_rng(),
+                        self._chunk_gammas(n // MB)
+                        if self._natgrad_warmup else None)
                     if rem:
                         # remainder batch (the reference's drop_last=False)
                         ids = np.asarray(perm[n - rem:], np.int32)
                         self.params, opt_state, _ = tail_step(
                             self.params, opt_state,
                             jnp.take(Xd, ids, axis=0), jnp.take(Yd, ids, axis=0),
-                            self._next_rng())
+                            self._next_rng(),
+                            *((self._chunk_gammas(1)[0],)
+                              if self._natgrad_warmup else ()))
                     ep_done += 1
                     self.loss_curve.append(curves[0][-1])
                     self.ell_curve.append(curves[1][-1])
@@ -631,7 +691,9 @@ class Trainer:
                 for X, Y in self.train_loader:
                     Xd, Yd = self._put_batch(X, Y)
                     self.params, opt_state, (e, ell, kld) = step_fn(
-                        self.params, opt_state, Xd, Yd, self._next_rng())
+                        self.params, opt_state, Xd, Yd, self._next_rng(),
+                        *((self._chunk_gammas(1)[0],)
+                          if self._natgrad_warmup else ()))
                     self.loss_curve.append(e)
                     self.ell_curve.append(ell)
                     self.kld_curve.append(kld)
