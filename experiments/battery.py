@@ -388,6 +388,8 @@ def main():
                     "batch": ("full" if args.batch_size >= N_tr
                               else args.batch_size),
                     "epochs": args.epochs, "train_s": round(train_s, 2),
+                    "natgrad": args.natgrad,
+                    "natgrad_warmup": args.natgrad_warmup,
                     "nll": [round(float(v), 4) for v in nll],
                     "rmse": [round(float(v), 4) for v in rmse],
                     "nll_mean": round(float(nll.mean()), 4),

@@ -400,3 +400,52 @@ def test_warmup_requires_gamma():
     mspec, stack, Xs, Ys = _msvgp()
     with pytest.raises(ValueError, match="natgrad_warmup needs"):
         ms.train_multiseed(mspec, stack, Xs, Ys, 2, 0.01, natgrad_warmup=5)
+
+
+def test_battery_step_moves_hypers_and_matches_trainer():
+    """The battery's fused NGD step must apply the GRADIENT update too
+    (regression: a dropped optax.apply_updates froze every non-q leaf and
+    produced conditional-optimum-only trajectories that still LOOK like
+    training).  Pins (a) hypers move, (b) the R=1 battery step equals the
+    Trainer's fused step exactly on a draw-free (Gaussian) ELBO."""
+    from tgp.pytorch_tpu.train import multiseed as ms
+    from tgp.pytorch_tpu.train.natgrad import (natgrad_train_step,
+                                               natgrad_multiseed_step)
+    import optax
+
+    spec, params, X, Y = _svgp()
+    stack = ms.stack_trees([params])
+    Xs, Ys = np.asarray(X)[None], np.asarray(Y)[None]
+
+    extra, _ = ms._natgrad_extras(stack, 0.5)
+    opt_b = ms._optimizer(spec, stack, "adam", 0.01, None, None,
+                          extra_frozen=extra)
+    sb = opt_b.init(stack)
+    step_b = natgrad_multiseed_step(spec, opt_b, 0.5)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1))
+    pb, sb, _ = step_b(jax.tree_util.tree_map(jnp.copy, stack), sb,
+                       jnp.asarray(Xs), jnp.asarray(Ys), keys)
+
+    # (a) every hyperparameter leaf moved
+    for path, (l0, l1) in zip(
+            jax.tree_util.tree_leaves_with_path(stack),
+            zip(jax.tree_util.tree_leaves(stack),
+                jax.tree_util.tree_leaves(pb))):
+        name = jax.tree_util.keystr(path[0])
+        if "q_mu" in name or "q_L" in name:
+            continue
+        assert float(jnp.max(jnp.abs(l1 - l0))) > 0, f"{name} frozen"
+
+    # (b) identical to the single-model fused step (no MC draws -> the rng
+    # argument is dead and the two paths must agree exactly)
+    opt_t = ms._optimizer(spec, params, "adam", 0.01, None, None,
+                          extra_frozen=ms._natgrad_extras(params, 0.5)[0])
+    st = opt_t.init(params)
+    step_t = natgrad_train_step(spec, opt_t, 0.5)
+    pt, st, _ = step_t(jax.tree_util.tree_map(jnp.copy, params), st,
+                       jnp.asarray(X), jnp.asarray(Y), jax.random.PRNGKey(0))
+    for (pa, lb), lt in zip(jax.tree_util.tree_leaves_with_path(pb),
+                            jax.tree_util.tree_leaves(pt)):
+        np.testing.assert_allclose(
+            np.asarray(lb[0]), np.asarray(lt), rtol=0, atol=1e-6,
+            err_msg=jax.tree_util.keystr(pa))

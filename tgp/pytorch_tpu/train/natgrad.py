@@ -199,6 +199,7 @@ def natgrad_multiseed_step(spec, optimizer, gamma):
         (_, aux), (gr, gm, gS) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(p, m, S)
         updates, s = optimizer.update(gr, s, p)
+        p = optax.apply_updates(p, updates)
         gg = gamma if g is None else g
         p = jax.vmap(
             lambda pr, dmr, dSr: natgrad_apply(spec, pr, dmr, dSr, gg)
