@@ -36,6 +36,9 @@ def main():
     p.add_argument("--fast_solves", action="store_true")
     p.add_argument("--solve_precision", default="highest",
                    choices=["highest", "high", "default"])
+    p.add_argument("--natgrad_warmup", type=int, default=None, metavar="K",
+                   help="linear gamma ramp over the first K optimizer steps "
+                        "(Salimbeni et al. 2018 minibatch-NGD schedule)")
     p.add_argument("--natgrad", type=float, default=None, metavar="GAMMA",
                    help="natural-gradient VI on q(U) (stochastic/minibatch "
                         "NGD, Salimbeni et al. 2018)")
@@ -108,13 +111,15 @@ def main():
         for cp in cps:
             t0 = time.time()
             tr.train(cp - done, 0.01, "adam", verbose_each=0,
-                     natgrad_gamma=args.natgrad)
+                     natgrad_gamma=args.natgrad,
+                     natgrad_warmup=args.natgrad_warmup)
             wall += time.time() - t0
             done = cp
             m = tr._metrics_for_loader(tr.test_loader)
             print(json.dumps({
                 "source": src, "rows": N, "M": args.M, "batch": args.batch,
-                "gamma": args.natgrad, "epoch": cp,
+                "gamma": args.natgrad, "warmup": args.natgrad_warmup,
+                "epoch": cp,
                 "train_wall_s": round(wall, 2),
                 "test_nll": round(float(-m["logL"][0]), 4),
                 "test_rmse": round(float(m["rmse"][0]), 4),
@@ -124,11 +129,13 @@ def main():
 
     t0 = time.time()
     tr.train(1, 0.01, "adam", verbose_each=0,
-             natgrad_gamma=args.natgrad)   # includes compile
+             natgrad_gamma=args.natgrad,
+             natgrad_warmup=args.natgrad_warmup)   # includes compile
     compile_epoch = time.time() - t0
     t0 = time.time()
     tr.train(args.epochs, 0.01, "adam", verbose_each=0,
-             natgrad_gamma=args.natgrad)
+             natgrad_gamma=args.natgrad,
+             natgrad_warmup=args.natgrad_warmup)
     dt = time.time() - t0
     sps = args.epochs * steps_per_epoch / dt
     elbo = float(tr.loss_curve[-1])

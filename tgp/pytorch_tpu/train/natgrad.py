@@ -214,14 +214,18 @@ def warn_if_step_arch(spec, gamma, threshold: float = 0.3):
 
     Measured (PARITY.md natgrad section, results_battery_ngd.jsonl):
     gamma=1.0 on boston's StepTanhL battery mis-converges 7/10 seeds even
-    at the full 15000 epochs (the first full step lands q(U) on the
+    at the full 15000 epochs (near-full-size NGD steps pin q(U) to the
     conditional optimum of the still-uncalibrated step warp and the
-    saturated gates never recover), while gamma=0.1 matches Adam's final
-    NLL on every seed.  Mirrors the solve-mode/plateau-guard coupling."""
+    saturated gates never recover), while gamma<=0.3 matches Adam's final
+    NLL on every seed.  A warmup ramp does NOT rescue gamma=1.0 here
+    (measured: 8/10 stuck with --natgrad_warmup 2000) — the trap is the
+    tracking itself, not the first step.  Mirrors the solve-mode/
+    plateau-guard coupling."""
     flow = getattr(spec, "flow", None) or ()
     if gamma > threshold and any(
             getattr(st, "kind", None) == "step_flow" for st in flow):
         print(f"WARNING: natgrad_gamma={gamma} with a step-flow arch — "
               f"gamma=1.0 mis-converged 7/10 boston StepTanhL seeds at "
-              f"full length (PARITY.md natgrad section); use gamma<=0.1 "
+              f"full length, and a warmup ramp does not rescue it "
+              f"(PARITY.md natgrad section); use gamma<=0.3 "
               f"for Step* archs", flush=True)
