@@ -75,6 +75,10 @@ def main():
                         "(train/natgrad.py; exact in the conjugate limit "
                         "at GAMMA=1; use ~0.1 for Step* archs — PARITY.md "
                         "natgrad section).  Capability beyond the reference")
+    p.add_argument("--natgrad_force", action="store_true",
+                   help="override the step-arch natgrad guard (gamma>0.3 + "
+                        "Step* arch refused by default — PARITY.md natgrad "
+                        "section: 7/10 seeds mis-converge silently)")
     p.add_argument("--natgrad_warmup", type=int, default=None, metavar="K",
                    help="linear warmup ramp for --natgrad over the first K "
                         "epochs (full-batch batteries; fixes the Step*-arch "
@@ -291,7 +295,8 @@ def main():
             spec, params, Xs, Ys, args.epochs, args.lr,
             batch_size=args.batch_size, seed=args.train_seed, specs=specs,
             clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
-            natgrad_gamma=args.natgrad, natgrad_warmup=args.natgrad_warmup)
+            natgrad_gamma=args.natgrad, natgrad_warmup=args.natgrad_warmup,
+            natgrad_force=args.natgrad_force)
         train_s = time.time() - t0
     else:
         # segmented training with post-segment checkpoints: a crash resumes
@@ -313,7 +318,8 @@ def main():
                 clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
                 carry=carry, return_state=True,
                 natgrad_gamma=args.natgrad,
-                natgrad_warmup=args.natgrad_warmup)
+                natgrad_warmup=args.natgrad_warmup,
+                natgrad_force=args.natgrad_force)
             train_s += time.time() - t0
             done += n
             curve_parts.append({k: np.asarray(v) for k, v in cv.items()})

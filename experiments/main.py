@@ -90,6 +90,11 @@ def parse_args(argv=None):
                         "Step* archs (gamma=1 mis-converges their gates — "
                         "measured, PARITY.md natgrad section); capability "
                         "beyond the reference")
+    p.add_argument("--natgrad_force", action="store_true",
+                   help="override the step-arch natgrad guard: gamma>0.3 "
+                        "with a Step* arch mis-converged 7/10 seeds at full "
+                        "length with plausible ELBO curves (PARITY.md "
+                        "natgrad section) and is refused without this flag")
     p.add_argument("--natgrad_warmup", type=int, default=None, metavar="K",
                    help="linear warmup ramp for --natgrad: gamma_t = GAMMA *"
                         " min(1, (t+1)/K) over the first K optimizer steps "
@@ -272,14 +277,16 @@ def run(args):
                       optimisation_schedule=schedule,
                       verbose_each=args.verbose_each,
                       natgrad_gamma=args.natgrad,
-                      natgrad_warmup=args.natgrad_warmup)
+                      natgrad_warmup=args.natgrad_warmup,
+                      natgrad_force=args.natgrad_force)
         trainer.spec = spec_final
     if args.epochs - warmup > 0:
         trainer.train(args.epochs - warmup, args.lr, "adam",
                       optimisation_schedule=schedule,
                       verbose_each=args.verbose_each,
                       natgrad_gamma=args.natgrad,
-                      natgrad_warmup=args.natgrad_warmup)
+                      natgrad_warmup=args.natgrad_warmup,
+                      natgrad_force=args.natgrad_force)
     train_time = time.time() - t0
 
     if args.checkpoint_dir:

@@ -223,7 +223,7 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
                     chunk: int = 2000, clip_norm=None, verbose_each: int = 0,
                     specs=None, mesh=None, carry=None,
                     return_state: bool = False, natgrad_gamma=None,
-                    natgrad_warmup=None):
+                    natgrad_warmup=None, natgrad_force: bool = False):
     """Train R replicas full-batch for `epochs` steps, vmapped.
 
     Args:
@@ -269,8 +269,8 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
         jnp.asarray(Y_stack).dtype, jnp.integer) else jnp.asarray(Y_stack, dtype)
     ng_frozen, use_ng = _natgrad_extras(params_stack, natgrad_gamma)
     if use_ng:
-        from .natgrad import warn_if_step_arch
-        warn_if_step_arch(spec, natgrad_gamma)
+        from .natgrad import guard_step_arch
+        guard_step_arch(spec, natgrad_gamma, force=natgrad_force)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
                            force_grouped=carry is not None or return_state,
                            extra_frozen=ng_frozen)
@@ -371,7 +371,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                               clip_norm=None, verbose_each: int = 0,
                               specs=None, mesh=None, carry=None,
                               return_state: bool = False,
-                              natgrad_gamma=None, natgrad_warmup=None):
+                              natgrad_gamma=None, natgrad_warmup=None,
+                              natgrad_force: bool = False):
     """Minibatch-SVI battery: R replicas, each shuffling its own split with
     its own seeded generator (the Trainer's device-resident fast path,
     vmapped over the seed axis).  One epoch = one device program; the only
@@ -408,8 +409,8 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
         jnp.asarray(Y_stack, dtype)
     ng_frozen, use_ng = _natgrad_extras(params_stack, natgrad_gamma)
     if use_ng:
-        from .natgrad import warn_if_step_arch
-        warn_if_step_arch(spec, natgrad_gamma)
+        from .natgrad import guard_step_arch
+        guard_step_arch(spec, natgrad_gamma, force=natgrad_force)
     optimizer = _optimizer(spec, params_stack, opt, lr, clip_norm, specs,
                            force_grouped=carry is not None or return_state,
                            extra_frozen=ng_frozen)

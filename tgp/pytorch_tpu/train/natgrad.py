@@ -209,8 +209,9 @@ def natgrad_multiseed_step(spec, optimizer, gamma):
     return step
 
 
-def warn_if_step_arch(spec, gamma, threshold: float = 0.3):
-    """Loud warning when a large gamma meets a step-flow arch.
+def guard_step_arch(spec, gamma, force: bool = False, threshold: float = 0.3):
+    """Mechanical guard: a large gamma meeting a step-flow arch is an ERROR
+    unless explicitly forced.
 
     Measured (PARITY.md natgrad section, results_battery_ngd.jsonl):
     gamma=1.0 on boston's StepTanhL battery mis-converges 7/10 seeds even
@@ -219,13 +220,28 @@ def warn_if_step_arch(spec, gamma, threshold: float = 0.3):
     saturated gates never recover), while gamma<=0.3 matches Adam's final
     NLL on every seed.  A warmup ramp does NOT rescue gamma=1.0 here
     (measured: 8/10 stuck with --natgrad_warmup 2000) — the trap is the
-    tracking itself, not the first step.  Mirrors the solve-mode/
-    plateau-guard coupling."""
+    tracking itself, not the first step, AND the failed runs' ELBO curves
+    look plausible, so no plateau guard can see it.  A printed warning
+    before a silent 7/10-seed mis-convergence is not enough (round-4
+    verdict): the failing configuration now refuses to run without an
+    explicit `natgrad_force=True` / `--natgrad_force` override."""
     flow = getattr(spec, "flow", None) or ()
     if gamma > threshold and any(
             getattr(st, "kind", None) == "step_flow" for st in flow):
-        print(f"WARNING: natgrad_gamma={gamma} with a step-flow arch — "
-              f"gamma=1.0 mis-converged 7/10 boston StepTanhL seeds at "
-              f"full length, and a warmup ramp does not rescue it "
-              f"(PARITY.md natgrad section); use gamma<=0.3 "
-              f"for Step* archs", flush=True)
+        msg = (f"natgrad_gamma={gamma} with a step-flow arch mis-converged "
+               f"7/10 boston StepTanhL seeds at full length with "
+               f"plausible-looking ELBO curves, and a warmup ramp does not "
+               f"rescue it (PARITY.md natgrad section); use "
+               f"gamma<={threshold} for Step* archs")
+        if not force:
+            raise ValueError(
+                msg + ", or pass natgrad_force=True / --natgrad_force to "
+                "run this configuration anyway")
+        print("WARNING (forced): " + msg, flush=True)
+
+
+def warn_if_step_arch(spec, gamma, threshold: float = 0.3):
+    """Back-compat alias: the old warn-only surface now FORCES the guard
+    (i.e. warns) — kept for external callers; internal paths thread the
+    explicit `force` flag through guard_step_arch."""
+    guard_step_arch(spec, gamma, force=True, threshold=threshold)

@@ -482,7 +482,8 @@ class Trainer:
               optimisation_schedule=None, verbose_each: int = 100,
               clip_norm: float | None = None,
               natgrad_gamma: float | None = None,
-              natgrad_warmup: int | None = None):
+              natgrad_warmup: int | None = None,
+              natgrad_force: bool = False):
         """Run the optimisation loop.
 
         optimisation_schedule = (percentages, specifications) exactly like
@@ -541,8 +542,8 @@ class Trainer:
                 raise NotImplementedError(
                     "natgrad_gamma needs a single-layer q(U) at "
                     "params['q_mu'/'q_L']; deep stacks keep Adam on q")
-            from .natgrad import warn_if_step_arch
-            warn_if_step_arch(self.spec, natgrad_gamma)
+            from .natgrad import guard_step_arch
+            guard_step_arch(self.spec, natgrad_gamma, force=natgrad_force)
             paths = param_paths(self.params)
             frozen = jax.tree_util.tree_map(
                 lambda fr, p: bool(fr) or p.endswith("q_mu") or p.endswith("q_L"),
