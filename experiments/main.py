@@ -33,6 +33,19 @@ def parse_args(argv=None):
                         "(reference: code/dsp/likelihoods/"
                         "WarpedGaussianLinearMean.py — implemented there but "
                         "never wired to an entrypoint)")
+    p.add_argument("--warp_arch", default="SAL",
+                   choices=["SAL", "log_exp", "StepTanhL"],
+                   help="WGP observation-warp architecture.  SAL = the "
+                        "analytic-inverse sinh-arcsinh warp; log_exp = the "
+                        "reference's LogExpFlow sum-of-softplus warp "
+                        "(code/dsp/models/flow.py:207-238, the canonical "
+                        "Copula-Process/Snelson positive-forcing warp) whose "
+                        "inverse has NO closed form — the predictive path "
+                        "runs the Newton-Raphson inverse (flows/core.py::"
+                        "newton_inverse, ref flow.py:111-133); StepTanhL = "
+                        "tanh-step warp, identity-fit before training")
+    p.add_argument("--warp_terms", type=int, default=3,
+                   help="log_exp warp terms K / StepTanhL warp steps")
     p.add_argument("--dataset", required=True)
     p.add_argument("--train_test_seed_split", required=True, type=int)
     p.add_argument("--num_inducing", required=True, type=int)
@@ -158,6 +171,7 @@ def run(args):
     flow_kwargs = {k: v for k, v in flow_kwargs.items() if v is not None}
 
     flow_spec, flow_params0 = IDENTITY_SPEC, None
+    warp_inits = warp_params0 = None
     if args.model == "ID_TGP":
         np.random.seed(cfg.config_seed)
         fl = G.SAL(hp["num_blocks"], **flow_kwargs)
@@ -186,9 +200,36 @@ def run(args):
     if args.model == "SVGP":
         lik = LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
     elif args.model == "WGP":
-        # learnable SAL(1) observation warp, identity at init
         np.random.seed(cfg.config_seed)
-        wspec, _ = spec_from_list(G.SAL(1))
+        if args.warp_arch == "SAL":
+            # learnable SAL(1) observation warp, identity at init
+            wspec, _ = spec_from_list(G.SAL(1))
+        elif args.warp_arch == "log_exp":
+            # Snelson-shaped warp T(y) = y + sum_k a_k log(1+e^{b_k(y+c_k)})
+            # (ref flow.py:207-238 + the linear term that makes T a
+            # bijection of R with dT/dy >= 1 — without it tail quadrature
+            # nodes have no preimage).  Init near-linear: per-term slope
+            # 1/K, staggered offsets.  T^{-1} is non-analytic -> the
+            # predictive path exercises newton_inverse end-to-end.
+            from tgp.pytorch_tpu.ops.transforms import inv_softplus
+            Kt = args.warp_terms
+            wspec, warp_inits = spec_from_list([("log_exp", {
+                "add_init_f0": True,
+                "init_a": [float(inv_softplus(1.0 / Kt))] * Kt,
+                "init_b": [float(inv_softplus(1.0))] * Kt,
+                "init_c": np.linspace(-1.0, 1.0, Kt).tolist()})])
+        else:  # StepTanhL: identity-fit over the y range (main.py:168-190).
+            # add_init_f0=True keeps T bijective on R (dT/dy >= 1): a bare
+            # tanh-sum saturates outside the data range, and quadrature
+            # nodes past the saturation level have no preimage (same
+            # failure as bare log_exp — measured, PARITY.md WGP section).
+            print("==== identity-fitting the StepTanhL warp ====")
+            y = dc["Y_tr"]
+            wspec, warp_params0, mse = fit_flow_to_identity(
+                lambda: G.StepTanhL(1, args.warp_terms, add_f0=True),
+                float(y.min()) - 1.0, float(y.max()) + 1.0,
+                num_restarts=1, num_epochs=2000)
+            print(f"warp identity-fit MSE {mse:.3e}")
         lik = LikelihoodSpec("warped", Dy, noise_is_shared=False,
                              quad_points=cfg.quad_points, warp_flow=wspec)
     else:
@@ -207,7 +248,10 @@ def run(args):
         noise_init=0.05,
         flow_inits=(None if args.model in ("SVGP", "WGP")
                     or flow_params0 is not None else flow_inits),
+        warp_inits=warp_inits,
     )
+    if warp_params0 is not None:     # identity-fitted StepTanhL warp
+        params["likelihood"]["warp"] = warp_params0
     if flow_params0 is not None:
         import jax.tree_util as jtu
         params["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), flow_params0)

@@ -67,3 +67,80 @@ def test_warped_model_elbo_and_sampling(rng):
     ll = M.test_log_likelihood(spec, params, jnp.array(X), jnp.array(Ypos),
                                jnp.ones(1))
     assert np.isfinite(np.asarray(ll)).all()
+
+
+def _log_exp_warp(Kt=3):
+    """Snelson-shaped log_exp warp (linear term + sum-of-softplus):
+    bijective on R with dT/dy >= 1, NO analytic inverse -> the predictive
+    path must run newton_inverse (ref flow.py:111-133, 207-238)."""
+    from tgp.pytorch_tpu.ops.transforms import inv_softplus
+    return spec_from_list([("log_exp", {
+        "add_init_f0": True,
+        "init_a": [float(inv_softplus(1.0 / Kt))] * Kt,
+        "init_b": [float(inv_softplus(1.0))] * Kt,
+        "init_c": np.linspace(-1.0, 1.0, Kt).tolist()})])
+
+
+def test_log_exp_warp_newton_inverse_roundtrip_after_training():
+    """Train a WGP with the log_exp warp end-to-end, then assert the
+    Newton-Raphson inverse round-trips the TRAINED warp to tolerance over
+    the data range — the first in-anger exercise of the Newton fallback
+    (round-4 verdict item; the SAL warp's inverse is analytic so it never
+    hits newton_inverse)."""
+    from tgp.pytorch_tpu.flows.core import (flow_forward, flow_inverse,
+                                            _step_inverse_analytic)
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.train import Trainer
+
+    wspec, winits = _log_exp_warp()
+    # guard the premise: this spec has NO analytic inverse
+    with pytest.raises(NotImplementedError):
+        _step_inverse_analytic(wspec[0], None, jnp.zeros(()))
+
+    np.random.seed(0)
+    rs = np.random.RandomState(0)
+    N, Dx = 80, 2
+    X = rs.randn(N, Dx)
+    Y = np.sinh(0.8 * rs.randn(N, 1))        # heavy-tailed target
+    lik = LikelihoodSpec("warped", 1, quad_points=30, warp_flow=wspec)
+    spec = M.TGPSpec(Dy=1, Dx=Dx, M=8, N=float(N),
+                     kernel=K.from_name("scale_rbf"), likelihood=lik)
+    params = M.init_tgp_params(spec, X, X[:8].copy(), variance_scale=1e-5,
+                               noise_init=0.05, warp_inits=winits)
+    a0 = np.asarray(params["likelihood"]["warp"][0]["a"]).copy()
+    loaders = [DataLoader(ArrayDataset(X, Y), N, seed=0),
+               DataLoader(ArrayDataset(X, Y), N, shuffle=False)]
+    tr = Trainer(spec, params, loaders, Y_std=np.ones(1), S_test=30)
+    tr.train(300, 0.02, "adam", verbose_each=0)
+
+    wp = tr.params["likelihood"]["warp"]
+    # warp moved off its init (training actually exercised it)
+    assert not np.allclose(np.asarray(wp[0]["a"]), a0)
+    # Newton inverse round-trips the trained warp over the data range
+    y = jnp.linspace(float(Y.min()) - 1.0, float(Y.max()) + 1.0, 512)
+    f = flow_forward(wspec, wp, y)
+    y_back = flow_inverse(wspec, wp, f, iters=100)
+    np.testing.assert_allclose(np.asarray(y_back), np.asarray(y), atol=1e-6)
+
+    # the full predictive path (quadrature of the Newton inverse) is finite
+    # and sane: moments bounded by the y range under a trained model
+    m = tr.compute_metrics()["test"]
+    assert np.isfinite(m["logL"]).all() and np.isfinite(m["rmse"]).all()
+    assert float(m["rmse"][0]) < 3.0 * float(np.std(Y))
+
+
+def test_bare_log_exp_warp_is_refused_shape():
+    """The bare (no linear term) log_exp maps R -> (0, inf); targets below
+    inf T have no preimage and the clamped Newton walks away linearly.
+    Pin the geometry fact that motivates add_init_f0 (PARITY WGP section)."""
+    from tgp.pytorch_tpu.flows.core import flow_forward
+    wspec, winits = spec_from_list([("log_exp", {
+        "init_a": [0.0], "init_b": [0.0], "init_c": [0.0]})])
+    wp = init_flow_params(wspec, winits)
+    y = jnp.linspace(-30.0, 5.0, 64)
+    f = flow_forward(wspec, wp, y)
+    assert float(f.min()) > 0.0          # bounded below: not surjective
+    wspec2, winits2 = _log_exp_warp()
+    wp2 = init_flow_params(wspec2, winits2)
+    f2 = flow_forward(wspec2, wp2, y)
+    assert float(f2.min()) < -20.0       # linear term restores surjectivity

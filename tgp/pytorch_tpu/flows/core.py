@@ -133,7 +133,9 @@ def spec_from_list(flow_list) -> Tuple[Tuple[FlowStep, ...], list]:
             raise ValueError(f"unknown flow kind {name!r}")
         if name == "log_exp":
             a = np.asarray(kw["init_a"], dtype=np.float64).reshape(-1)
-            steps.append(FlowStep("log_exp", n_terms=int(a.shape[0])))
+            steps.append(FlowStep("log_exp", n_terms=int(a.shape[0]),
+                                  add_init_f0=bool(kw.get("add_init_f0",
+                                                          False))))
             inits.append({"a": a,
                           "b": np.asarray(kw["init_b"], dtype=np.float64).reshape(-1),
                           "c": np.asarray(kw["init_c"], dtype=np.float64).reshape(-1)})
@@ -393,8 +395,13 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
         return fk + f if step.add_init_f0 else fk
     if k == "log_exp":
         # fk = sum_k a_k log(exp(b_k (f + c_k)) + 1)
-        # reference: code/dsp/models/flow.py:207-238
-        res = 0.0
+        # reference: code/dsp/models/flow.py:207-238.  With add_init_f0 the
+        # linear term makes T a bijection of R with dT/df >= 1 (the Snelson
+        # warped-GP shape, y + sum_k a_k tanh-sum analog) — required for a
+        # well-posed Newton inverse in the warped likelihood's predictive
+        # quadrature (the bare sum maps R -> (0, inf): tail quadrature nodes
+        # below inf T have NO preimage and the clamped Newton diverges).
+        res = f if step.add_init_f0 else 0.0
         for t in range(step.n_terms):
             a = softplus(params["a"][t])
             b = softplus(params["b"][t])

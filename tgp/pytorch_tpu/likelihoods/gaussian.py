@@ -44,7 +44,7 @@ class LikelihoodSpec:
 
 
 def init_likelihood_params(spec: LikelihoodSpec, noise_init: float = 0.05,
-                           dtype=None):
+                           dtype=None, warp_inits=None):
     """reference: GaussianLinearMean.__init__ (GaussianLinearMean.py:29-41) —
     a (Dy,1) (or shared (1,1)) log-variance parameter."""
     dtype = dtype or cfg.default_dtype()
@@ -54,7 +54,8 @@ def init_likelihood_params(spec: LikelihoodSpec, noise_init: float = 0.05,
     params = {"log_var_noise": jnp.full((n, 1), float(np.log(noise_init)), dtype)}
     if spec.kind == "warped" and spec.warp_flow:
         from ..flows.core import init_flow_params
-        params["warp"] = init_flow_params(spec.warp_flow, dtype=dtype)
+        params["warp"] = init_flow_params(spec.warp_flow, inits=warp_inits,
+                                          dtype=dtype)
     return params
 
 

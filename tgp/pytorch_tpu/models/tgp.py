@@ -207,6 +207,7 @@ def init_tgp_params(
     noise_init: float = 0.05,
     add_noise_inducing: float = 0.0,
     flow_inits=None,
+    warp_inits=None,
     dtype=None,
 ):
     """Build the full TGP parameter pytree.
@@ -249,7 +250,8 @@ def init_tgp_params(
     kparams = kernels_mod.init_params(spec.kernel, nk, Dx, kernel_init, dtype)
     nm = 1 if spec.mean_is_shared else Dy
     mparams = mean_init(spec.mean, nm, Dx, X=X_train, dtype=dtype)
-    lparams = init_likelihood_params(spec.likelihood, noise_init, dtype)
+    lparams = init_likelihood_params(spec.likelihood, noise_init, dtype,
+                                     warp_inits=warp_inits)
 
     # -- flows -------------------------------------------------------------
     if spec.flow_per_output is not None:
