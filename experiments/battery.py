@@ -39,7 +39,20 @@ def parse_seeds(s):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True,
-                   choices=["SVGP", "TGP", "ID_TGP"])
+                   choices=["SVGP", "TGP", "ID_TGP", "WGP", "DGP"])
+    p.add_argument("--layers", type=int, default=2,
+                   help="DGP depth (--model DGP; models/deep.py)")
+    p.add_argument("--warp_arch", default="SAL",
+                   choices=["SAL", "log_exp"],
+                   help="WGP warp (--model WGP); log_exp = the Snelson-"
+                        "shaped sum-of-softplus warp with the linear term "
+                        "(Newton-inverse predictive path)")
+    p.add_argument("--warp_terms", type=int, default=3)
+    p.add_argument("--hold_kernel_epochs", type=int, default=None,
+                   help="classification two-phase protocol: hold kernel "
+                        "params this many epochs then release (Hensman "
+                        "2015b; reference launcher hold_K_params; default "
+                        "exp_config.HOLD_K_PARAMS_EPOCHS)")
     p.add_argument("--dataset", required=True)
     p.add_argument("--num_inducing", required=True, type=int)
     p.add_argument("--seeds", default="1-10")
@@ -145,7 +158,10 @@ def main():
                  "clip_norm": args.clip_norm,
                  "train_seed": args.train_seed,
                  "natgrad": args.natgrad,
-                 "natgrad_warmup": args.natgrad_warmup}
+                 "natgrad_warmup": args.natgrad_warmup,
+                 "layers": args.layers if args.model == "DGP" else None,
+                 "warp": (args.warp_arch, args.warp_terms)
+                         if args.model == "WGP" else None}
     resume = None
     if args.ckpt and os.path.exists(args.ckpt):
         import pickle
@@ -161,10 +177,12 @@ def main():
     # ---- per-seed splits (identical protocol to main.py) ------------------
     Xtr, Ytr, Xte, Yte, Ystd, Z0s = [], [], [], [], [], []
     Dy = Dx = N_tr = None
+    is_class = False
     for s in seeds:
         loaders, dc = return_dataset(args.dataset, 10 ** 9, None, seed=s,
                                      options={"shuffle_train": False})
         Dy, Dx, N_tr = dc["Dy"], dc["Dx"], dc["N_tr"]
+        is_class = dc["task"] == "classification"
         Xtr.append(dc["X_tr"])
         Ytr.append(dc["Y_tr"])
         Xte.append(loaders[-1].dataset.X)
@@ -188,11 +206,11 @@ def main():
         # (reference main.py:193-208) runs per seed, then training is the
         # same vmapped scan — hypernet weights are ordinary pytree leaves
         np.random.seed(cfg.config_seed)
-        flow_spec, flow_inits = FA.build_id_flow(args.dataset, Dx)
+        flow_spec, flow_inits = FA.build_id_flow(args.dataset, Dx, is_class)
     elif args.model == "TGP":
         try:
             arch, nb, ns = FA.resolve_tgp_arch(
-                args.dataset,
+                args.dataset, is_class,
                 arch_override=FA.parse_arch_flag(args.arch) if args.arch
                 else None,
                 num_blocks=None if args.arch else args.num_blocks)
@@ -220,15 +238,59 @@ def main():
         else:
             flow_spec, flow_inits = FA.build_point_flow(arch, nb)
 
-    lik = (LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
-           if args.model == "SVGP" else
-           LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
-                          quad_points=cfg.quad_points))
-    spec = M.TGPSpec(Dy=Dy, Dx=Dx, M=args.num_inducing, N=float(N_tr),
-                     kernel=K.from_name("scale_rbf"), likelihood=lik,
-                     flow=flow_spec, mean="zero", whiten=True,
-                     fast_solves=args.fast_solves,
-                     solve_precision=args.solve_precision)
+    warp_inits = None
+    if is_class:
+        # one GP per class (binary: one Bernoulli GP) — sweep.py semantics
+        Dy_model = 1 if Dy == 2 else Dy
+        lik = (LikelihoodSpec("bernoulli", 1, quad_points=cfg.quad_points)
+               if Dy == 2 else
+               LikelihoodSpec("categorical", Dy, quad_points=cfg.quad_points,
+                              num_classes=Dy))
+        if args.model in ("WGP", "DGP"):
+            raise SystemExit(f"--model {args.model} is regression-only; "
+                             f"{args.dataset} is classification")
+    else:
+        Dy_model = Dy
+        if args.model == "SVGP":
+            lik = LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
+        elif args.model == "WGP":
+            from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+            np.random.seed(cfg.config_seed)
+            if args.warp_arch == "SAL":
+                wspec, _ = spec_from_list(G.SAL(1))
+            else:   # Snelson-shaped log_exp (see experiments/main.py)
+                from tgp.pytorch_tpu.ops.transforms import inv_softplus
+                Kt = args.warp_terms
+                wspec, warp_inits = spec_from_list([("log_exp", {
+                    "add_init_f0": True,
+                    "init_a": [float(inv_softplus(1.0 / Kt))] * Kt,
+                    "init_b": [float(inv_softplus(1.0))] * Kt,
+                    "init_c": np.linspace(-1.0, 1.0, Kt).tolist()})])
+            lik = LikelihoodSpec("warped", Dy, noise_is_shared=False,
+                                 quad_points=cfg.quad_points, warp_flow=wspec)
+        else:
+            lik = LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
+                                 quad_points=cfg.quad_points)
+    if args.model == "DGP":
+        if args.natgrad:
+            raise SystemExit("--natgrad needs a single-layer q(U)")
+        from tgp.pytorch_tpu.models import DeepTGPSpec, layer_spec
+        kernel = K.from_name("scale_rbf")
+        inner = tuple(layer_spec(Dx, Dx, args.num_inducing, float(N_tr),
+                                 kernel, whiten=True)
+                      for _ in range(args.layers - 1))
+        last = M.TGPSpec(Dy=Dy_model, Dx=Dx, M=args.num_inducing,
+                         N=float(N_tr), kernel=kernel, likelihood=lik,
+                         flow=flow_spec, mean="zero", whiten=True)
+        spec = DeepTGPSpec(layers=inner + (last,), S_train=1,
+                           S_test=args.S_test)
+    else:
+        spec = M.TGPSpec(Dy=Dy_model, Dx=Dx, M=args.num_inducing,
+                         N=float(N_tr),
+                         kernel=K.from_name("scale_rbf"), likelihood=lik,
+                         flow=flow_spec, mean="zero", whiten=True,
+                         fast_solves=args.fast_solves,
+                         solve_precision=args.solve_precision)
     if args.fast_solves and args.solve_precision != "highest":
         # the vmapped battery has no per-replica plateau guard; make the
         # measured combined-lever stall (power M=256, +0.033 NLL — PARITY.md
@@ -247,13 +309,23 @@ def main():
     else:
         per_seed = []
         for r in range(R):
-            pr = M.init_tgp_params(
-                spec, Xtr[r], Z0s[r], variance_scale=1e-5, mean_scale=0.0,
-                kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
-                             "noisy_variance": 1e-6},
-                noise_init=0.05, flow_inits=flow_inits)
+            if args.model == "DGP":
+                from tgp.pytorch_tpu.models import init_deep_params
+                pr = init_deep_params(
+                    spec, Xtr[r], Z0s[r], variance_scale=1e-5,
+                    mean_scale=0.0,
+                    kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
+                                 "noisy_variance": 1e-6},
+                    noise_init=0.05, flow_inits=flow_inits)
+            else:
+                pr = M.init_tgp_params(
+                    spec, Xtr[r], Z0s[r], variance_scale=1e-5, mean_scale=0.0,
+                    kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
+                                 "noisy_variance": 1e-6},
+                    noise_init=0.05, flow_inits=flow_inits,
+                    warp_inits=warp_inits)
             if flow_fitted is not None:
-                pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy),
+                pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy_model),
                                           flow_fitted[r])
             if args.model == "ID_TGP":
                 from tgp.pytorch_tpu.flows.initializers import (
@@ -265,7 +337,7 @@ def main():
                 fp0, loss = fit_hypernet_to_anchors(
                     flow_spec, fp0, fit_batches, num_epochs=2000,
                     noise_var=0.0)
-                pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy), fp0)
+                pr["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy_model), fp0)
                 print(f"seed {seeds[r]}: hypernet anchor-fit loss {loss:.3e}")
             per_seed.append(pr)
         params = ms.stack_trees(per_seed)
@@ -289,14 +361,53 @@ def main():
           f"R={R} epochs={args.epochs} — compiling/launching", flush=True)
     Xs, Ys = np.stack(Xtr), np.stack(Ytr)
     verbose = min(max(args.epochs // 5, 1), 2000)
+    hold = 0
+    if is_class:
+        # two-phase protocol: kernel params held for the first 2000 epochs
+        # (Hensman 2015b; reference launcher hold_K_params :9)
+        if args.ckpt is not None:
+            raise SystemExit("--ckpt is not supported for classification "
+                             "batteries yet (two-phase hold-kernel "
+                             "segmentation)")
+        import exp_config as EC
+        hold = args.hold_kernel_epochs
+        if hold is None:
+            hold = EC.HOLD_K_PARAMS_EPOCHS
+        hold = min(hold, args.epochs)
     if args.ckpt is None:
         t0 = time.time()
-        params, curves = ms.train_multiseed_minibatch(
-            spec, params, Xs, Ys, args.epochs, args.lr,
-            batch_size=args.batch_size, seed=args.train_seed, specs=specs,
-            clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
-            natgrad_gamma=args.natgrad, natgrad_warmup=args.natgrad_warmup,
-            natgrad_force=args.natgrad_force)
+        if hold:
+            specs_hold = [[0.0, "kernel"]] + (specs or [])
+            params, cv1, carry = ms.train_multiseed_minibatch(
+                spec, params, Xs, Ys, hold, args.lr,
+                batch_size=args.batch_size, seed=args.train_seed,
+                specs=specs_hold, clip_norm=args.clip_norm,
+                verbose_each=verbose, mesh=mesh, return_state=True,
+                natgrad_gamma=args.natgrad,
+                natgrad_warmup=args.natgrad_warmup,
+                natgrad_force=args.natgrad_force)
+            curves = {k: np.asarray(v) for k, v in cv1.items()}
+            if args.epochs > hold:
+                # released phase: pre-existing groups' Adam moments carry,
+                # the released kernel group starts fresh (torch semantics)
+                params, cv2 = ms.train_multiseed_minibatch(
+                    spec, params, Xs, Ys, args.epochs - hold, args.lr,
+                    batch_size=args.batch_size, seed=args.train_seed,
+                    specs=specs, clip_norm=args.clip_norm,
+                    verbose_each=verbose, mesh=mesh, carry=carry,
+                    natgrad_gamma=args.natgrad,
+                    natgrad_warmup=args.natgrad_warmup,
+                    natgrad_force=args.natgrad_force)
+                curves = {k: np.concatenate([curves[k], np.asarray(cv2[k])],
+                                            axis=0) for k in curves}
+        else:
+            params, curves = ms.train_multiseed_minibatch(
+                spec, params, Xs, Ys, args.epochs, args.lr,
+                batch_size=args.batch_size, seed=args.train_seed, specs=specs,
+                clip_norm=args.clip_norm, verbose_each=verbose, mesh=mesh,
+                natgrad_gamma=args.natgrad,
+                natgrad_warmup=args.natgrad_warmup,
+                natgrad_force=args.natgrad_force)
         train_s = time.time() - t0
     else:
         # segmented training with post-segment checkpoints: a crash resumes
@@ -362,6 +473,37 @@ def main():
                                     np.stack(Yte), np.stack(Ystd),
                                     S_test=args.S_test,
                                     fully_bayesian=fully_bayesian, mesh=mesh)
+        if is_class:
+            nll = -metrics["logL"]             # per-seed scalar
+            acc = metrics["acc"]
+            print(f"\n== {tag} {args.dataset} M={args.num_inducing} "
+                  f"{R}-seed classification battery: {args.epochs} epochs "
+                  f"({hold} held) in {train_s:.1f}s ==")
+            for i, sd in enumerate(seeds):
+                print(f"seed {sd:2d}: NLL {nll[i]:.4f}  acc {acc[i]:.4f}")
+            print(f"mean +- std: NLL {nll.mean():.4f} +- {nll.std():.4f}   "
+                  f"acc {acc.mean():.4f} +- {acc.std():.4f}")
+            out = replica_outliers(nll)
+            flagged = [seeds[i] for i in np.nonzero(out["flags"])[0]]
+            if flagged:
+                print(f"OUTLIER replicas (|robust z| > 5): "
+                      + ", ".join(f"seed {sd}" for sd in flagged))
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(json.dumps({
+                        "model": tag, "dataset": args.dataset,
+                        "M": args.num_inducing, "seeds": seeds,
+                        "arch": ((args.arch or "table")
+                                 if args.model != "SVGP" else None),
+                        "epochs": args.epochs, "hold": hold,
+                        "train_s": round(train_s, 2),
+                        "nll": [round(float(v), 4) for v in nll],
+                        "acc": [round(float(v), 4) for v in acc],
+                        "nll_mean": round(float(nll.mean()), 4),
+                        "acc_mean": round(float(acc.mean()), 4),
+                        "outlier_seeds": flagged,
+                    }) + "\n")
+            return
         nll = -metrics["logL"].mean(axis=-1)   # per-seed, averaged over Dy
         rmse = metrics["rmse"].mean(axis=-1)
         print(f"\n== {tag} {args.dataset} M={args.num_inducing} "
@@ -406,6 +548,10 @@ def main():
     if args.model == "ID_TGP":
         report("ID_TGP(PE)", False)        # point-estimate flows
         report("ID_TGP(BA)", True)         # MC-dropout Bayesian mixture
+    elif args.model == "WGP":
+        report(f"WGP({args.warp_arch})", False)
+    elif args.model == "DGP":
+        report(f"DGP-{args.layers}", False)
     else:
         report(args.model, False)
 

@@ -103,6 +103,11 @@ TGP_CLASSIFICATION_SWEEP = {
     "banknote": ("BCL_AL", 5, None),
     "avila":    ("SAL_AL", 1, None),
     "activity": ("BCL_AL", 1, None),
+    # zero-egress synthetic stand-ins (data/uci_classification.py): the
+    # heart-style binary and activity-style 3-class configs the measured
+    # classification protocol runs (benchmarks/classification_protocol.py)
+    "synthetic_binary":     ("SAL_InvBCL", 1, None),
+    "synthetic_multiclass": ("BCL_AL", 1, None),
 }
 
 ID_TGP_CLASSIFICATION_SWEEP = {
@@ -111,6 +116,8 @@ ID_TGP_CLASSIFICATION_SWEEP = {
     "banknote": (1, "tanh", 2, 0.25, 0, 50),
     "avila":    (1, "tanh", 1, 0.75, 0, 25),
     "activity": (1, "tanh", 1, 0.75, 0, 25),
+    "synthetic_binary":     (1, "tanh", 1, 0.5, 0, 25),
+    "synthetic_multiclass": (1, "tanh", 1, 0.75, 0, 25),
 }
 
 HOLD_K_PARAMS_EPOCHS = 2000

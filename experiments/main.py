@@ -27,12 +27,25 @@ sys.path.insert(0, os.path.dirname(__file__))
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="TGP on TPU (JAX)")
     p.add_argument("--model", required=True,
-                   choices=["SVGP", "TGP", "ID_TGP", "WGP"],
+                   choices=["SVGP", "TGP", "ID_TGP", "WGP", "DGP"],
                    help="WGP = warped-GP likelihood (Snelson): a learnable "
                         "SAL(1) observation warp T with N(T(y)|f,s2)|dT/dy| "
                         "(reference: code/dsp/likelihoods/"
                         "WarpedGaussianLinearMean.py — implemented there but "
                         "never wired to an entrypoint)")
+    p.add_argument("--layers", type=int, default=2,
+                   help="DGP depth (--model DGP): --layers-1 inner "
+                        "Dx-wide SVGP layers with the Salimbeni identity "
+                        "mean + one output layer, trained with doubly-"
+                        "stochastic VI (models/deep.py; realises the "
+                        "reference's vestigial deep hooks, "
+                        "sparse_MF_SP.py:274-340)")
+    p.add_argument("--dgp_flow", action="store_true",
+                   help="put the dataset's table flow arch on the DGP "
+                        "output layer (= a deep TGP)")
+    p.add_argument("--S_train", type=int, default=1,
+                   help="DGP doubly-stochastic training samples "
+                        "(reference cg.S_train, config.py:59)")
     p.add_argument("--warp_arch", default="SAL",
                    choices=["SAL", "log_exp", "StepTanhL"],
                    help="WGP observation-warp architecture.  SAL = the "
@@ -120,6 +133,81 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def run_dgp(args, loaders, dc, Z0):
+    """Deep (T)GP protocol: --layers stacked SVGP layers trained with
+    doubly-stochastic VI (models/deep.py, Salimbeni & Deisenroth 2017);
+    --dgp_flow puts the dataset's table flow arch on the output layer
+    (= a deep TGP).  Inner layers are Dx-wide with the Salimbeni identity
+    mean; inducing locations propagate through the stack.  Realises the
+    reference's vestigial deep hooks (sparse_MF_SP.py:274-340,
+    utils_models.py:323-352)."""
+    import time as _time
+    import numpy as np
+    from tgp.pytorch_tpu import config as cfg
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.models import (DeepTGPSpec, layer_spec,
+                                        init_deep_params)
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.train import Trainer
+    from tgp.pytorch_tpu.flows.core import IDENTITY_SPEC
+
+    if args.natgrad:
+        raise SystemExit("--natgrad needs a single-layer q(U); the deep "
+                         "stack keeps Adam on q (train/natgrad.py guard)")
+    Dy, Dx = dc["Dy"], dc["Dx"]
+    kernel = K.from_name("scale_rbf")
+    flow_spec, flow_inits = IDENTITY_SPEC, None
+    if args.dgp_flow:
+        import flow_arch as FA
+        np.random.seed(cfg.config_seed)
+        arch, nb, ns = FA.resolve_tgp_arch(args.dataset)
+        if FA.is_step_arch(arch):
+            raise SystemExit("--dgp_flow supports the non-step table archs "
+                             "(identity-fit of step warps inside a deep "
+                             "stack is untested)")
+        flow_spec, flow_inits = FA.build_point_flow(arch, nb)
+        lik = LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
+                             quad_points=cfg.quad_points)
+    else:
+        lik = LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
+    inner = [layer_spec(Dx, Dx, args.num_inducing, float(dc["N_tr"]), kernel,
+                        whiten=True)
+             for _ in range(args.layers - 1)]
+    last = M.TGPSpec(Dy=Dy, Dx=Dx, M=args.num_inducing,
+                     N=float(dc["N_tr"]), kernel=kernel, likelihood=lik,
+                     flow=flow_spec, mean="zero", whiten=True)
+    spec = DeepTGPSpec(layers=tuple(inner) + (last,),
+                       S_train=args.S_train, S_test=args.S_test)
+    params = init_deep_params(
+        spec, dc["X_tr"], Z0, variance_scale=1e-5, mean_scale=0.0,
+        kernel_init={"length_scale": 2.0, "kernel_scale": 2.0,
+                     "noisy_variance": 1e-6},
+        noise_init=0.05, flow_inits=flow_inits)
+
+    trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=args.S_test,
+                      seed=args.train_seed)
+    t0 = _time.time()
+    trainer.train(args.epochs, args.lr, "adam",
+                  verbose_each=args.verbose_each)
+    train_time = _time.time() - t0
+
+    if args.checkpoint_dir:
+        from tgp.pytorch_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint_dir, trainer.params, step=args.epochs)
+
+    m = trainer.compute_metrics()
+    test = m["test"]
+    print("\n=====================================")
+    print("== Results obtained after training ==")
+    print("=====================================")
+    tag = f"DGP-{args.layers}" + ("+flow" if args.dgp_flow else "")
+    print(f"Dataset {args.dataset}, M {args.num_inducing}, {tag}, "
+          f"Test NLL {-test['logL'][0]:.3f}, Test RMSE {test['rmse'][0]:.3f} "
+          f"({train_time:.1f}s train)")
+    return m
+
+
 def run(args):
     if args.platform:
         import jax
@@ -151,6 +239,9 @@ def run(args):
     # ---- inducing init (main.py:145) -------------------------------------
     Z0 = kmeans_centers(dc["X_tr"], args.num_inducing, n_init=10,
                         seed=cfg.config_seed)
+
+    if args.model == "DGP":
+        return run_dgp(args, loaders, dc, Z0)
 
     # ---- flow architecture (main.py:150-208) -----------------------------
     hp = return_hyperparams("SVGP" if args.model == "WGP" else args.model,

@@ -195,13 +195,55 @@ def _finish(X_tr, y_tr, X_te, y_te, use_validation, categorical_cols=()):
     return out
 
 
+def _synthetic_corpus(kind: str):
+    """Fixed synthetic classification corpora (the zero-egress stand-ins the
+    measured classification protocol runs on — benchmarks/
+    classification_protocol.py uses the identical generative process, so
+    battery numbers are comparable with the recorded protocol cells).
+    The corpus is FIXED (RandomState(0)); only the split varies by seed."""
+    rng = np.random.RandomState(0)
+    N, Dx = 1200, 4
+    X = rng.randn(N, Dx)
+    if kind == "binary":
+        logits = np.sin(2 * X[:, 0]) + X[:, 1] * X[:, 2]
+        y = (logits + 0.4 * rng.randn(N) > 0).astype(np.float64)
+    else:
+        W = rng.randn(Dx, 3)
+        scores = np.tanh(X @ W) + 0.3 * rng.randn(N, 3)
+        y = np.argmax(scores, axis=1).astype(np.float64)
+    return X, y
+
+
+def load_synthetic_binary(seed: int, use_validation=None):
+    """Seeded 90/10 split of the fixed binary corpus (split protocol as
+    UCI_data.__generate_splits__, reference uci_datasets.py:109-134)."""
+    X, y = _synthetic_corpus("binary")
+    np.random.seed(seed)
+    perm = np.random.permutation(X.shape[0])
+    n_tr = int(0.9 * X.shape[0])
+    tr, te = perm[:n_tr], perm[n_tr:]
+    return _finish(X[tr], y[tr], X[te], y[te], use_validation)
+
+
+def load_synthetic_multiclass(seed: int, use_validation=None):
+    X, y = _synthetic_corpus("multiclass")
+    np.random.seed(seed)
+    perm = np.random.permutation(X.shape[0])
+    n_tr = int(0.9 * X.shape[0])
+    tr, te = perm[:n_tr], perm[n_tr:]
+    return _finish(X[tr], y[tr], X[te], y[te], use_validation)
+
+
 CLASSIFICATION_LOADERS = {
     "banknote": load_banknote,
     "heart": load_heart,
     "avila": load_avila,
     "movement": load_movement,
     "activity": load_activity,
+    "synthetic_binary": load_synthetic_binary,
+    "synthetic_multiclass": load_synthetic_multiclass,
 }
 
 NUM_CLASSES = {"banknote": 2, "heart": 2, "avila": 12, "movement": 2,
-               "activity": 7}
+               "activity": 7, "synthetic_binary": 2,
+               "synthetic_multiclass": 3}
