@@ -62,9 +62,13 @@ def make_step_gen(arch: str, nb: int, ns):
 
 def build_point_flow(arch: str, nb: int):
     """(flow_spec, flow_inits) for non-Step point-estimate archs — plain
-    generators or chains like SAL_BCL (identity-at-init values from the
-    reference's flows.py:115-492)."""
+    generators, chains like SAL_BCL (identity-at-init values from the
+    reference's flows.py:115-492), or `rand_<name>` randomly-initialised
+    single flows (reference flows.py:494-573, e.g. rand_tukey_right,
+    rand_arcsinh) repeated nb times."""
     from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    if arch.startswith("rand_"):
+        return spec_from_list(G.random_flow([arch[len("rand_"):]] * nb))
     if arch in _PLAIN_ARCHS:
         return spec_from_list(getattr(G, arch)(nb))
     return spec_from_list(G.build_chain(arch, nb))

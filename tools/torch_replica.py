@@ -477,6 +477,40 @@ def find_forward_params(y_min, y_max, random_flow_fn, num_restarts=1,
     return found[best], float(losses[best])
 
 
+class LogExpWarp(nn.Module):
+    """Snelson-shaped observation warp T(y) = y + sum_k a_k log(1+e^{b_k
+    (y+c_k)}) (LogExpFlow, flow.py:207-238, plus the linear term that keeps
+    T a bijection of R); inverse by the reference's Newton-Raphson with the
+    1e-4 gradient clamp (flow.py:111-133)."""
+
+    def __init__(self, K=3):
+        super().__init__()
+        self.a = nn.Parameter(inv_softplus(1.0 / K) * torch.ones(K))
+        self.b = nn.Parameter(inv_softplus(1.0) * torch.ones(K))
+        self.c = nn.Parameter(torch.linspace(-1.0, 1.0, K))
+
+    def forward(self, f0, X=None):
+        res = f0
+        for k in range(self.a.shape[0]):
+            res = res + softplus(self.a[k]) * softplus(
+                softplus(self.b[k]) * (f0 + self.c[k]))
+        return res
+
+    def _grad(self, f0):
+        g = torch.ones_like(f0)
+        for k in range(self.a.shape[0]):
+            bk = softplus(self.b[k])
+            g = g + softplus(self.a[k]) * bk * torch.sigmoid(bk * (f0 + self.c[k]))
+        return g
+
+    def inverse(self, fk):
+        x = torch.ones_like(fk)
+        for _ in range(100):
+            dval = self._grad(x).clamp_min(1e-4)
+            x = x - (self.forward(x) - fk) / dval
+        return x
+
+
 ## ===================== model ============================================ ##
 
 class SparseTGP(nn.Module):
@@ -760,10 +794,12 @@ def run(args):
     if args.model == "SVGP":
         flow = None
     elif args.model == "WGP":
-        # warped-GP: no process flow; learnable SAL(1) observation warp,
-        # identity at init (matching experiments/main.py --model WGP)
+        # warped-GP: no process flow; learnable observation warp, near-
+        # identity at init (matching experiments/main.py --model WGP
+        # --warp_arch {SAL,log_exp})
         flow = None
-        obs_warp = sal_flow(1)
+        obs_warp = (sal_flow(1) if args.warp_arch == "SAL"
+                    else LogExpWarp(3))
     elif args.model == "TGP":
         # exp_config.py:31-56: power = SAL x2; boston = StepTanhL 10x2
         if args.dataset == "power":
@@ -935,6 +971,8 @@ if __name__ == "__main__":
     p.add_argument("--dataset", required=True)
     p.add_argument("--split", type=int, default=1)
     p.add_argument("--num_inducing", type=int, required=True)
+    p.add_argument("--warp_arch", default="SAL", choices=["SAL", "log_exp"],
+                   help="WGP observation warp (matches experiments/main.py)")
     p.add_argument("--epochs", type=int, default=15000)
     p.add_argument("--inference", default="MC_dropout",
                    choices=["MC_dropout", "vi"],
