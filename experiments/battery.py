@@ -48,6 +48,11 @@ def main():
                         "shaped sum-of-softplus warp with the linear term "
                         "(Newton-inverse predictive path)")
     p.add_argument("--warp_terms", type=int, default=3)
+    p.add_argument("--nnet_inference", default="MC_dropout",
+                   choices=["MC_dropout", "mean_field_gaussian"],
+                   help="ID_TGP hypernet inference mode (mean_field_gaussian"
+                        " = BNN_VILR local-reparam VI, dropout forced to 0; "
+                        "reference BNN_VILR.py:10-92)")
     p.add_argument("--hold_kernel_epochs", type=int, default=None,
                    help="classification two-phase protocol: hold kernel "
                         "params this many epochs then release (Hensman "
@@ -159,6 +164,8 @@ def main():
                  "train_seed": args.train_seed,
                  "natgrad": args.natgrad,
                  "natgrad_warmup": args.natgrad_warmup,
+                 "nnet_inference": (args.nnet_inference
+                                    if args.model == "ID_TGP" else None),
                  "layers": args.layers if args.model == "DGP" else None,
                  "warp": (args.warp_arch, args.warp_terms)
                          if args.model == "WGP" else None}
@@ -206,7 +213,8 @@ def main():
         # (reference main.py:193-208) runs per seed, then training is the
         # same vmapped scan — hypernet weights are ordinary pytree leaves
         np.random.seed(cfg.config_seed)
-        flow_spec, flow_inits = FA.build_id_flow(args.dataset, Dx, is_class)
+        flow_spec, flow_inits = FA.build_id_flow(args.dataset, Dx, is_class,
+                                                 inference=args.nnet_inference)
     elif args.model == "TGP":
         try:
             arch, nb, ns = FA.resolve_tgp_arch(
@@ -546,8 +554,9 @@ def main():
                 }) + "\n")
 
     if args.model == "ID_TGP":
-        report("ID_TGP(PE)", False)        # point-estimate flows
-        report("ID_TGP(BA)", True)         # MC-dropout Bayesian mixture
+        vi = args.nnet_inference == "mean_field_gaussian"
+        report("ID_TGP_VI(PE)" if vi else "ID_TGP(PE)", False)
+        report("ID_TGP_VI(BA)" if vi else "ID_TGP(BA)", True)
     elif args.model == "WGP":
         report(f"WGP({args.warp_arch})", False)
     elif args.model == "DGP":

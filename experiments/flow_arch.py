@@ -74,14 +74,19 @@ def build_point_flow(arch: str, nb: int):
     return spec_from_list(G.build_chain(arch, nb))
 
 
-def build_id_flow(dataset: str, Dx: int, is_class: bool = False):
+def build_id_flow(dataset: str, Dx: int, is_class: bool = False,
+                  inference: str = "MC_dropout"):
     """(flow_spec, flow_inits) for the ID_TGP hypernet arch of `dataset`
-    (ID sweep table: nb, activation, hidden layers, dropout, bn, width)."""
+    (ID sweep table: nb, activation, hidden layers, dropout, bn, width).
+    inference='mean_field_gaussian' swaps the MC-dropout nets for BNN_VILR
+    local-reparam VI (dropout forced to 0 — reference BNN_VILR.py:55)."""
     from tgp.pytorch_tpu.flows import generators as G, spec_from_list
     table = (EC.ID_TGP_CLASSIFICATION_SWEEP if is_class
              else EC.ID_TGP_REGRESSION_SWEEP)
     nb, act, nh, dr, bn, width = table[dataset]
+    if inference == "mean_field_gaussian":
+        dr = 0.0
     fl = G.SAL(nb, input_dependent=True, input_dim=Dx,
                hidden_activation=act, num_hidden_layers=nh, dropout=dr,
-               batch_norm=bn, hidden_dim=width, inference="MC_dropout")
+               batch_norm=bn, hidden_dim=width, inference=inference)
     return spec_from_list(fl)

@@ -188,4 +188,13 @@ if job(7, "classification 10-seed batteries"):
                 "--epochs", str(E), "--precision", "fp32",
                 "--out", "results_battery_class.jsonl"])
 
+# ---- 8: VI-hypernet boston battery (the last 3-seed round-4 acceptance) --
+if job(8, "ID_TGP mean-field-VI boston 10-seed battery"):
+    run_argv(battery.main, [
+        "battery.py", "--model", "ID_TGP",
+        "--nnet_inference", "mean_field_gaussian",
+        "--dataset", "boston", "--num_inducing", "100", "--seeds", "1-10",
+        "--epochs", str(E), "--precision", "fp32",
+        "--out", "results_battery.jsonl"])
+
 say("queue done")
