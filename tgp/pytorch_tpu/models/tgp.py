@@ -105,9 +105,13 @@ class TGPSpec:
     flow_is_shared: bool = False   # 'shared' vs 'single' connection
     min_var: float = 1e-12         # diagonal-variance floor (fp32 safety)
     #: rematerialize the marginal-qf + quadrature pipeline in the backward
-    #: pass (jax.checkpoint): trades ~1 extra forward for not keeping the
-    #: (M, MB) solve and (S, Dy, MB) quadrature intermediates alive — the
-    #: HBM lever for large-M / large-batch (airline-scale) training.
+    #: pass (jax.checkpoint).  MEASURED-NEGATIVE on TPU (round 5,
+    #: benchmarks/remat_bench.py, PARITY.md remat section): 9-36% slower at
+    #: every (M, batch) from 500x10k to 500x400k with NO peak-HBM reduction
+    #: — XLA's scheduler already keeps the scan-compiled training program's
+    #: footprint linear in batch (3.1 GB at batch 400k on a 16 GB chip), so
+    #: the checkpoint only adds recompute.  Kept as an experimental flag
+    #: (value/grad equivalence pinned by tests/test_remat.py); not a lever.
     remat: bool = False
     #: materialise L^{-1} once (one (M,M) trsm) and turn the O(N M^2)
     #: triangular solves into plain GEMMs.  Triangular solves run the MXU
