@@ -212,3 +212,37 @@ def test_categorical_elbo_and_prediction(rng):
     probs, _, _, _ = M.predictive_distribution(spec, params, jnp.array(X), rng=rng)
     assert probs.shape == (N, C)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_parameterless_flow_elbo_and_kld():
+    """A flow with NO parameters (exp/softplus: params [{}]) must train:
+    flows_kld used to vmap over the empty flow pytree and die with
+    'vmap ... got empty *args' (found by the round-5 full-generator sweep
+    on rand_exp/rand_softplus)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import spec_from_list
+
+    fspec, finits = spec_from_list([("softplus", {})])
+    spec = M.TGPSpec(Dy=2, Dx=3, M=4, N=16.0,
+                     kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("gaussian_flow", 2,
+                                               quad_points=10),
+                     flow=fspec)
+    rs = np.random.RandomState(0)
+    X = rs.randn(16, 3)
+    Y = np.abs(rs.randn(16, 2)) + 0.1     # softplus warp -> positive data
+    params = M.init_tgp_params(spec, X, X[:4].copy(), variance_scale=1e-5,
+                               flow_inits=finits)
+    assert np.asarray(M.flows_kld(spec, params)) == 0.0
+    e, ell, kld = jax.jit(lambda p: M.elbo(spec, p, jnp.asarray(X),
+                                           jnp.asarray(Y),
+                                           jax.random.PRNGKey(0)))(params)
+    assert np.isfinite(float(e))
+    g = jax.grad(lambda p: -M.elbo(spec, p, jnp.asarray(X), jnp.asarray(Y),
+                                   jax.random.PRNGKey(0))[0])(params)
+    assert np.isfinite(float(jnp.asarray(g["q_mu"]).sum()))

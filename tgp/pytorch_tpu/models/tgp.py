@@ -483,6 +483,10 @@ def flows_kld(spec: TGPSpec, params):
                    for d, fs in enumerate(spec.flow_per_output))
     if spec.flow_is_shared:
         return flow_kld(spec.flow, fp)
+    if not jax.tree_util.tree_leaves(fp):
+        # parameterless flow (exp / softplus / log ...): no params, no KL —
+        # and vmap over an empty pytree cannot infer the Dy axis
+        return jnp.zeros(())
     klds = jax.vmap(lambda p: flow_kld(spec.flow, p))(fp)
     return jnp.sum(klds)
 
