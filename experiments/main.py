@@ -215,6 +215,13 @@ def run(args):
     from tgp.pytorch_tpu import config as cfg
     cfg.set_precision(args.precision)
     cfg.set_rng_impl(args.rng_impl)
+    if args.precision == "bf16":
+        print("WARNING: full-bf16 TRAINING is measured-unstable — power "
+              "M=100 NaNs every parameter group by epoch ~2000 (PARITY.md "
+              "bf16 section); the nan_guard will stop the run when it "
+              "happens.  For a production bf16 lever use fp32 master "
+              "precision with --solve_precision high|default (bf16 MXU "
+              "passes, measured 1.36-1.58x at large M).", flush=True)
 
     import numpy as np
     import jax

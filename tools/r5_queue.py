@@ -197,4 +197,20 @@ if job(8, "ID_TGP mean-field-VI boston 10-seed battery"):
         "--epochs", str(E), "--precision", "fp32",
         "--out", "results_battery.jsonl"])
 
+# ---- 9: bf16 epoch-time measurement (short segment, dies at ~ep 2000) ----
+if job(9, "bf16 power short-segment timing"):
+    run_main(["main.py", "--model", "TGP", "--dataset", "power",
+              "--train_test_seed_split", "1", "--num_inducing", "100",
+              "--precision", "bf16", "--epochs", "1000",
+              "--verbose_each", "200"], tee="results_bf16.log")
+
+# ---- 10: parameterless rand archs (post flows_kld fix) --------------------
+if job(10, "rand_exp / rand_softplus full-length"):
+    for arch in ("rand_exp:1", "rand_softplus:1"):
+        run_argv(battery.main, [
+            "battery.py", "--model", "TGP", "--arch", arch,
+            "--dataset", "boston", "--num_inducing", "5", "--seeds", "1",
+            "--epochs", str(E), "--precision", "fp32",
+            "--out", "results_full_length.jsonl"])
+
 say("queue done")
