@@ -21,6 +21,18 @@ cfg.set_precision("fp64")
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _restore_precision():
+    """Global precision is process-wide mutable state (cfg.set_precision);
+    a test or a CLI main() invoked in-process that switches it must not
+    leak into later tests (found: test_battery_paths' fp32 cells broke
+    test_bayesian_estimator's fp64 tolerances)."""
+    prev = cfg.precision()
+    yield
+    if cfg.precision() != prev:
+        cfg.set_precision(prev)
+
+
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
