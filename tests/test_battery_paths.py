@@ -74,3 +74,14 @@ def test_regression_model_refused_on_classification(monkeypatch, tmp_path):
         _run_battery(monkeypatch, tmp_path, [
             "--model", "WGP", "--dataset", "synthetic_binary",
             "--num_inducing", "5", "--seeds", "1", "--epochs", "10"])
+
+
+def test_vi_hypernet_battery(monkeypatch, tmp_path):
+    recs = _run_battery(monkeypatch, tmp_path, [
+        "--model", "ID_TGP", "--nnet_inference", "mean_field_gaussian",
+        "--dataset", "boston", "--num_inducing", "5", "--seeds", "1-2",
+        "--epochs", "30", "--precision", "fp32"])
+    tags = [r["model"] for r in recs]
+    assert tags == ["ID_TGP_VI(PE)", "ID_TGP_VI(BA)"]
+    for r in recs:
+        assert np.isfinite(r["nll"]).all()
