@@ -213,4 +213,12 @@ if job(10, "rand_exp / rand_softplus full-length"):
             "--epochs", str(E), "--precision", "fp32",
             "--out", "results_full_length.jsonl"])
 
+# ---- 11: WGP log_exp power fp32 (contingency if the fp64 cell timed out)
+if job(11, "WGP log_exp power fp32"):
+    run_main(["main.py", "--model", "WGP", "--warp_arch", "log_exp",
+              "--dataset", "power", "--train_test_seed_split", "1",
+              "--num_inducing", "100", "--precision", "fp32",
+              "--epochs", str(E), "--verbose_each", "3000"],
+             tee="results_wgp_logexp.log")
+
 say("queue done")
