@@ -221,4 +221,12 @@ if job(11, "WGP log_exp power fp32"):
               "--epochs", str(E), "--verbose_each", "3000"],
              tee="results_wgp_logexp.log")
 
+# ---- 12: WGP StepTanhL boston fp64 (job 5's tail, split out) --------------
+if job(12, "WGP StepTanhL boston fp64"):
+    run_main(["main.py", "--model", "WGP", "--warp_arch", "StepTanhL",
+              "--warp_terms", "3", "--dataset", "boston",
+              "--train_test_seed_split", "1", "--num_inducing", "100",
+              "--precision", "fp64", "--epochs", str(E),
+              "--verbose_each", "3000"], tee="results_wgp_logexp.log")
+
 say("queue done")
