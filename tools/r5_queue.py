@@ -79,6 +79,7 @@ def run_argv(module_main, argv, tee=None):
     except Exception:
         say(f"   FAILED in {time.time() - t0:.0f}s: {argv}")
         traceback.print_exc()
+        traceback.print_exc(file=sys.stdout)  # into the tee'd log too
         return False
     finally:
         sys.argv = old_argv
@@ -228,5 +229,28 @@ if job(12, "WGP StepTanhL boston fp64"):
               "--train_test_seed_split", "1", "--num_inducing", "100",
               "--precision", "fp64", "--epochs", str(E),
               "--verbose_each", "3000"], tee="results_wgp_logexp.log")
+
+# ---- 13: bf16 instability evidence (fine-grained verbose, teed nan_guard)
+if job(13, "bf16 power M=100 full cell (expected nan_guard abort)"):
+    run_main(["main.py", "--model", "TGP", "--dataset", "power",
+              "--train_test_seed_split", "1", "--num_inducing", "100",
+              "--precision", "bf16", "--epochs", str(E),
+              "--verbose_each", "500"], tee="results_bf16.log")
+
+# ---- 14: DGP-2 power 10-seed battery (seed scatter for the depth win) ----
+if job(14, "DGP-2 power 10-seed battery"):
+    run_argv(battery.main, [
+        "battery.py", "--model", "DGP", "--layers", "2",
+        "--dataset", "power", "--num_inducing", "100", "--seeds", "1-10",
+        "--epochs", str(E), "--precision", "fp32",
+        "--out", "results_battery.jsonl"])
+
+# ---- 15: WGP log_exp power 10-seed battery --------------------------------
+if job(15, "WGP log_exp power 10-seed battery"):
+    run_argv(battery.main, [
+        "battery.py", "--model", "WGP", "--warp_arch", "log_exp",
+        "--dataset", "power", "--num_inducing", "100", "--seeds", "1-10",
+        "--epochs", str(E), "--precision", "fp32",
+        "--out", "results_battery.jsonl"])
 
 say("queue done")
