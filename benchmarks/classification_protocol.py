@@ -46,12 +46,14 @@ def run(kind: str, epochs: int, model: str = "TGP", train_seed: int = 0,
     from tgp.pytorch_tpu.flows import generators as G, spec_from_list
     from tgp.pytorch_tpu.flows.initializers import fit_hypernet_to_anchors
 
-    rng = np.random.RandomState(0)
+    # the corpus generator is shared with the battery's registry loaders
+    # (data/uci_classification.py::synthetic_corpus) so protocol cells and
+    # batteries are comparable by construction
+    from tgp.pytorch_tpu.data.uci_classification import synthetic_corpus
     N, Dx = 1200, 4
-    X = rng.randn(N, Dx)
     if kind == "binary":
-        logits = np.sin(2 * X[:, 0]) + X[:, 1] * X[:, 2]
-        y = (logits + 0.4 * rng.randn(N) > 0).astype(np.float64).reshape(-1, 1)
+        X, y = synthetic_corpus("binary")
+        y = y.reshape(-1, 1)
         C, Dy_model = 2, 1
         lik = LikelihoodSpec("bernoulli", 1, quad_points=50)
         np.random.seed(0)
@@ -64,9 +66,8 @@ def run(kind: str, epochs: int, model: str = "TGP", train_seed: int = 0,
         else:
             fl = G.build_chain("SAL_InvBCL", 1)
     else:
-        W = rng.randn(Dx, 3)
-        scores = np.tanh(X @ W) + 0.3 * rng.randn(N, 3)
-        y = np.argmax(scores, axis=1).astype(np.float64).reshape(-1, 1)
+        X, y = synthetic_corpus("multiclass")
+        y = y.reshape(-1, 1)
         C, Dy_model = 3, 3
         lik = LikelihoodSpec("categorical", 3, quad_points=32, num_classes=3)
         np.random.seed(0)

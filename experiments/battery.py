@@ -282,6 +282,13 @@ def main():
     if args.model == "DGP":
         if args.natgrad:
             raise SystemExit("--natgrad needs a single-layer q(U)")
+        if args.fast_solves or args.solve_precision != "highest":
+            # the deep layer specs don't thread the solve levers; silently
+            # running at defaults while printing the lever warning would
+            # misreport what executed
+            raise SystemExit("--fast_solves/--solve_precision are not "
+                             "wired into the DGP layer specs (measured "
+                             "guidance covers shallow models only)")
         from tgp.pytorch_tpu.models import DeepTGPSpec, layer_spec
         kernel = K.from_name("scale_rbf")
         inner = tuple(layer_spec(Dx, Dx, args.num_inducing, float(N_tr),

@@ -155,6 +155,10 @@ def run_dgp(args, loaders, dc, Z0):
     if args.natgrad:
         raise SystemExit("--natgrad needs a single-layer q(U); the deep "
                          "stack keeps Adam on q (train/natgrad.py guard)")
+    if args.fast_solves or args.solve_precision != "highest":
+        raise SystemExit("--fast_solves/--solve_precision are not wired "
+                         "into the DGP layer specs (measured guidance "
+                         "covers shallow models only)")
     Dy, Dx = dc["Dy"], dc["Dx"]
     kernel = K.from_name("scale_rbf")
     flow_spec, flow_inits = IDENTITY_SPEC, None

@@ -85,3 +85,25 @@ def test_vi_hypernet_battery(monkeypatch, tmp_path):
     assert tags == ["ID_TGP_VI(PE)", "ID_TGP_VI(BA)"]
     for r in recs:
         assert np.isfinite(r["nll"]).all()
+
+
+def test_dgp_battery_refuses_solve_levers(monkeypatch, tmp_path):
+    # the deep layer specs don't thread fast_solves/solve_precision; running
+    # silently at defaults while printing the lever warning would misreport
+    # what executed (round-5 review finding)
+    with pytest.raises(SystemExit, match="not .*wired"):
+        _run_battery(monkeypatch, tmp_path, [
+            "--model", "DGP", "--layers", "2", "--dataset", "boston",
+            "--num_inducing", "5", "--seeds", "1", "--epochs", "10",
+            "--fast_solves"])
+
+
+def test_dgp_cli_refuses_solve_levers():
+    import main as main_mod
+    args = main_mod.parse_args([
+        "--model", "DGP", "--dataset", "boston",
+        "--train_test_seed_split", "1", "--num_inducing", "5",
+        "--epochs", "10", "--precision", "fp32", "--solve_precision",
+        "high"])
+    with pytest.raises(SystemExit, match="not wired"):
+        main_mod.run(args)

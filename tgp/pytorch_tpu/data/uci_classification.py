@@ -195,12 +195,13 @@ def _finish(X_tr, y_tr, X_te, y_te, use_validation, categorical_cols=()):
     return out
 
 
-def _synthetic_corpus(kind: str):
+def synthetic_corpus(kind: str):
     """Fixed synthetic classification corpora (the zero-egress stand-ins the
-    measured classification protocol runs on — benchmarks/
-    classification_protocol.py uses the identical generative process, so
-    battery numbers are comparable with the recorded protocol cells).
-    The corpus is FIXED (RandomState(0)); only the split varies by seed."""
+    measured classification protocol runs on).  SINGLE SOURCE of the
+    generative process: benchmarks/classification_protocol.py imports this
+    function, so battery numbers are comparable with the recorded protocol
+    cells by construction.  The corpus is FIXED (RandomState(0)); only the
+    split varies by seed."""
     rng = np.random.RandomState(0)
     N, Dx = 1200, 4
     X = rng.randn(N, Dx)
@@ -214,24 +215,23 @@ def _synthetic_corpus(kind: str):
     return X, y
 
 
-def load_synthetic_binary(seed: int, use_validation=None):
-    """Seeded 90/10 split of the fixed binary corpus (split protocol as
+def _load_synthetic(kind: str, seed: int, use_validation=None):
+    """Seeded 90/10 split of the fixed corpus (split protocol as
     UCI_data.__generate_splits__, reference uci_datasets.py:109-134)."""
-    X, y = _synthetic_corpus("binary")
+    X, y = synthetic_corpus(kind)
     np.random.seed(seed)
     perm = np.random.permutation(X.shape[0])
     n_tr = int(0.9 * X.shape[0])
     tr, te = perm[:n_tr], perm[n_tr:]
     return _finish(X[tr], y[tr], X[te], y[te], use_validation)
+
+
+def load_synthetic_binary(seed: int, use_validation=None):
+    return _load_synthetic("binary", seed, use_validation)
 
 
 def load_synthetic_multiclass(seed: int, use_validation=None):
-    X, y = _synthetic_corpus("multiclass")
-    np.random.seed(seed)
-    perm = np.random.permutation(X.shape[0])
-    n_tr = int(0.9 * X.shape[0])
-    tr, te = perm[:n_tr], perm[n_tr:]
-    return _finish(X[tr], y[tr], X[te], y[te], use_validation)
+    return _load_synthetic("multiclass", seed, use_validation)
 
 
 CLASSIFICATION_LOADERS = {

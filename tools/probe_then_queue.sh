@@ -3,6 +3,7 @@
 # timeout, cool off between attempts), then run the round-5 measurement
 # queue under the robust wrapper.  Usage:
 #   tools/probe_then_queue.sh LOGFILE QUEUE_ARGS...
+cd "$(dirname "$0")/.."
 log=$1; shift
 : > "$log"
 for attempt in $(seq 1 24); do

@@ -4,13 +4,22 @@ The axon tunnel wedges fresh clients attaching back-to-back (CLAUDE.md), so
 instead of 40 separate CLI invocations this driver imports the experiment
 entrypoints and calls them in-process, sequentially:
 
-  0. remat A/B grid                          -> results_remat.jsonl
-  1. full-length generator stability sweep   -> results_full_length.jsonl
-  2. bf16 vs fp32 power M=100 protocol cell  -> results_bf16.log (stdout)
-  3. DGP protocol runs + boston battery      -> results_dgp.log / battery jsonl
-  4. WGP log_exp / StepTanhL parity cells    -> results_wgp_logexp.log
-  5. WGP log_exp boston battery
-  6. classification 10-seed batteries        -> results_battery_class.jsonl
+  0.  remat A/B grid                         -> results_remat.jsonl
+  1.  full-length generator stability sweep  -> results_full_length.jsonl
+  2.  bf16 vs fp32 power M=100 protocol cell -> results_bf16.log (stdout)
+  3.  DGP protocol runs                      -> results_dgp.log
+  4.  DGP-2 boston 10-seed battery           -> results_battery.jsonl
+  5.  WGP log_exp / StepTanhL parity cells   -> results_wgp_logexp.log
+  6.  WGP log_exp boston battery             -> results_battery.jsonl
+  7.  classification 10-seed batteries       -> results_battery_class.jsonl
+  8.  ID_TGP mean-field-VI boston battery    -> results_battery.jsonl
+  9.  bf16 short-segment timing              -> results_bf16.log
+  10. rand_exp / rand_softplus full-length   -> results_full_length.jsonl
+  11. WGP log_exp power fp32                 -> results_wgp_logexp.log
+  12. WGP StepTanhL boston fp64              -> results_wgp_logexp.log
+  13. bf16 full cell (nan_guard evidence)    -> results_bf16.log
+  14. DGP-2 power 10-seed battery            -> results_battery.jsonl
+  15. WGP log_exp power 10-seed battery      -> results_battery.jsonl
 
     tools/tpu_run_robust.sh /tmp/r5_queue.log timeout 14400 \
         python tools/r5_queue.py [--skip 0,1,...] [--only N,M]

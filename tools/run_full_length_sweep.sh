@@ -5,7 +5,9 @@
 # lands in results_full_length.jsonl (round-4 verdict prescription 7).
 # Step* archs run their per-seed identity-fit initializer; rand_* archs are
 # the reference's randomly-initialised single flows (flows.py:494-573).
-set -u
+# pipefail: the fallback record after || depends on python's status, not
+# tail's — without it a diverging arch would leave NO line in the jsonl
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-results_full_length.jsonl}
 
