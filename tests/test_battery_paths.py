@@ -107,3 +107,21 @@ def test_dgp_cli_refuses_solve_levers():
         "high"])
     with pytest.raises(SystemExit, match="not wired"):
         main_mod.run(args)
+
+
+def test_dgp_flow_cli_smoke_and_step_refusal():
+    # deep TGP: --dgp_flow puts the dataset's table flow arch on the DGP
+    # output layer.  wine_red's table arch (SAL x3) is non-step -> runs;
+    # boston's (StepTanhL) is refused.
+    import main as main_mod
+    m = main_mod.run(main_mod.parse_args([
+        "--model", "DGP", "--layers", "2", "--dgp_flow",
+        "--dataset", "wine_red", "--train_test_seed_split", "1",
+        "--num_inducing", "5", "--epochs", "30", "--precision", "fp32"]))
+    assert np.isfinite(m["test"]["logL"]).all()
+    with pytest.raises(SystemExit, match="non-step"):
+        main_mod.run(main_mod.parse_args([
+            "--model", "DGP", "--layers", "2", "--dgp_flow",
+            "--dataset", "boston", "--train_test_seed_split", "1",
+            "--num_inducing", "5", "--epochs", "30",
+            "--precision", "fp32"]))

@@ -262,4 +262,13 @@ if job(15, "WGP log_exp power 10-seed battery"):
         "--epochs", str(E), "--precision", "fp32",
         "--out", "results_battery.jsonl"])
 
+# ---- 16: deep TGP (--dgp_flow: table flow arch on the DGP output layer) --
+if job(16, "DGP-2+flow protocol cells (power, kin8nm)"):
+    for ds in ("power", "kin8nm"):
+        run_main(["main.py", "--model", "DGP", "--layers", "2",
+                  "--dgp_flow", "--dataset", ds,
+                  "--train_test_seed_split", "1", "--num_inducing", "100",
+                  "--precision", "fp32", "--epochs", str(E),
+                  "--verbose_each", "3000"], tee="results_dgp.log")
+
 say("queue done")
