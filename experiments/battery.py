@@ -42,6 +42,10 @@ def main():
                    choices=["SVGP", "TGP", "ID_TGP", "WGP", "DGP"])
     p.add_argument("--layers", type=int, default=2,
                    help="DGP depth (--model DGP; models/deep.py)")
+    p.add_argument("--dgp_flow", action="store_true",
+                   help="put the dataset's table flow arch on the DGP "
+                        "output layer (= a deep TGP; non-step archs only, "
+                        "as experiments/main.py)")
     p.add_argument("--warp_arch", default="SAL",
                    choices=["SAL", "log_exp"],
                    help="WGP warp (--model WGP); log_exp = the Snelson-"
@@ -167,6 +171,8 @@ def main():
                  "nnet_inference": (args.nnet_inference
                                     if args.model == "ID_TGP" else None),
                  "layers": args.layers if args.model == "DGP" else None,
+                 "dgp_flow": (args.dgp_flow if args.model == "DGP"
+                              else None),
                  "warp": (args.warp_arch, args.warp_terms)
                          if args.model == "WGP" else None}
     resume = None
@@ -245,6 +251,23 @@ def main():
                 flow_fitted.append(fitted)
         else:
             flow_spec, flow_inits = FA.build_point_flow(arch, nb)
+    elif args.model == "DGP" and args.dgp_flow:
+        # deep TGP: the dataset's table flow arch goes on the output layer
+        # (as experiments/main.py::run_dgp; step archs refused there too)
+        try:
+            arch, nb, ns = FA.resolve_tgp_arch(
+                args.dataset, is_class,
+                arch_override=FA.parse_arch_flag(args.arch) if args.arch
+                else None,
+                num_blocks=None if args.arch else args.num_blocks)
+        except ValueError as e:
+            p.error(str(e))
+        if FA.is_step_arch(arch):
+            raise SystemExit("--dgp_flow supports the non-step table archs "
+                             "(identity-fit of step warps inside a deep "
+                             "stack is untested)")
+        np.random.seed(cfg.config_seed)
+        flow_spec, flow_inits = FA.build_point_flow(arch, nb)
 
     warp_inits = None
     if is_class:
@@ -547,7 +570,9 @@ def main():
                     "model": tag, "dataset": args.dataset,
                     "M": args.num_inducing, "seeds": seeds,
                     "arch": ((args.arch or "table")
-                             if args.model != "SVGP" else None),
+                             if args.model in ("TGP", "ID_TGP")
+                             or (args.model == "DGP" and args.dgp_flow)
+                             else None),
                     "batch": ("full" if args.batch_size >= N_tr
                               else args.batch_size),
                     "epochs": args.epochs, "train_s": round(train_s, 2),
@@ -567,7 +592,8 @@ def main():
     elif args.model == "WGP":
         report(f"WGP({args.warp_arch})", False)
     elif args.model == "DGP":
-        report(f"DGP-{args.layers}", False)
+        report(f"DGP-{args.layers}" + ("+flow" if args.dgp_flow else ""),
+               False)
     else:
         report(args.model, False)
 

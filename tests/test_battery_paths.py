@@ -125,3 +125,14 @@ def test_dgp_flow_cli_smoke_and_step_refusal():
             "--dataset", "boston", "--train_test_seed_split", "1",
             "--num_inducing", "5", "--epochs", "30",
             "--precision", "fp32"]))
+
+
+def test_dgp_flow_battery(monkeypatch, tmp_path):
+    recs = _run_battery(monkeypatch, tmp_path, [
+        "--model", "DGP", "--layers", "2", "--dgp_flow",
+        "--dataset", "wine_red", "--num_inducing", "5", "--seeds", "1-2",
+        "--epochs", "30", "--precision", "fp32"])
+    (r,) = recs
+    assert r["model"] == "DGP-2+flow"
+    assert r["arch"] == "table"
+    assert np.isfinite(r["nll"]).all()

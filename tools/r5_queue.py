@@ -271,4 +271,12 @@ if job(16, "DGP-2+flow protocol cells (power, kin8nm)"):
                   "--precision", "fp32", "--epochs", str(E),
                   "--verbose_each", "3000"], tee="results_dgp.log")
 
+# ---- 17: DGP-2+flow kin8nm 10-seed battery (the headline at battery std)
+if job(17, "DGP-2+flow kin8nm 10-seed battery"):
+    run_argv(battery.main, [
+        "battery.py", "--model", "DGP", "--layers", "2", "--dgp_flow",
+        "--dataset", "kin8nm", "--num_inducing", "100", "--seeds", "1-10",
+        "--epochs", str(E), "--precision", "fp32",
+        "--out", "results_battery.jsonl"])
+
 say("queue done")
