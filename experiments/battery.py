@@ -173,6 +173,7 @@ def main():
                  "layers": args.layers if args.model == "DGP" else None,
                  "dgp_flow": (args.dgp_flow if args.model == "DGP"
                               else None),
+                 "rng_impl": args.rng_impl,
                  "warp": (args.warp_arch, args.warp_terms)
                          if args.model == "WGP" else None}
     resume = None
@@ -299,6 +300,12 @@ def main():
                     "init_c": np.linspace(-1.0, 1.0, Kt).tolist()})])
             lik = LikelihoodSpec("warped", Dy, noise_is_shared=False,
                                  quad_points=cfg.quad_points, warp_flow=wspec)
+        elif args.model == "DGP" and not args.dgp_flow:
+            # plain DGP: closed-form Gaussian ELL, as main.py::run_dgp —
+            # quadrature through an identity flow is value-identical (GH is
+            # exact for the quadratic integrand; tested) but pays ~Q x the
+            # ELL work per step
+            lik = LikelihoodSpec("gaussian", Dy, noise_is_shared=False)
         else:
             lik = LikelihoodSpec("gaussian_flow", Dy, noise_is_shared=False,
                                  quad_points=cfg.quad_points)
@@ -492,9 +499,10 @@ def main():
                   for k in curve_parts[0]}
 
     if args.save_curves:
-        elbo = np.asarray(curves["elbo"])
-        if elbo.shape[0] != R:          # scan emits (T, R); store (R, T)
-            elbo = elbo.T
+        # both train paths emit (T, R) — chunk outputs concatenated on the
+        # step axis; store (R, T) unconditionally (a shape[0] != R
+        # heuristic would mis-orient the T == R coincidence)
+        elbo = np.asarray(curves["elbo"]).T
         np.save(args.save_curves, elbo)
         print(f"saved per-seed ELBO curves {elbo.shape} -> {args.save_curves}")
 

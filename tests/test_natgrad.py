@@ -333,6 +333,15 @@ def test_step_arch_guard_blocks_trainer_and_battery():
     out, _ = ms.train_multiseed(spec, stack, Xs, Ys, 2, 0.01,
                                 natgrad_gamma=1.0, natgrad_force=True)
     assert np.isfinite(np.asarray(out["q_mu"])).all()
+    # forced THROUGH the minibatch entry's full-batch fallback (MB >= N):
+    # the fallback must forward natgrad_force (round-5 review finding —
+    # it silently dropped it, making the override raise anyway).  Fresh
+    # stack: the forced call above DONATED the previous one's buffers.
+    stack2 = ms.stack_trees([params, params])
+    out2, _ = ms.train_multiseed_minibatch(spec, stack2, Xs, Ys, 2, 0.01,
+                                           batch_size=16, natgrad_gamma=1.0,
+                                           natgrad_force=True)
+    assert np.isfinite(np.asarray(out2["q_mu"])).all()
 
     from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
     from tgp.pytorch_tpu.train.trainer import Trainer

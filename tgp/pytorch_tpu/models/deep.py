@@ -124,22 +124,31 @@ def init_deep_params(spec: DeepTGPSpec, X, init_Z, *, key=None,
         if not is_last:
             from .means import projection_matrix
             W = projection_matrix(lsp.Dx, lsp.Dy, X_l)
-            Z_l = propagate_inducing(lsp, p, Z_l, lsp.Dy, rng=sub,
-                                     how=propagate)
+            # fresh key for the propagation draw (`sub` was consumed by
+            # init_tgp_params); share the X-derived W so Z lands in the
+            # same PCA subspace as the propagated inputs when Dy < Dx
+            key, prop_key = jax.random.split(key)
+            Z_l = propagate_inducing(lsp, p, Z_l, lsp.Dy, rng=prop_key,
+                                     how=propagate, W=W)
             X_l = X_l @ W
     return {"layers": layers}
 
 
-def _propagate(spec: DeepTGPSpec, params, X, rng, S: int):
+def _propagate(spec: DeepTGPSpec, params, X, rng, S: int,
+               deterministic: bool = False):
     """Push X (MB, D0) through the inner layers with S reparameterized
     samples.  Returns F (S*MB, D_{L-1}) — the last layer's inputs — plus the
-    last-layer marginal (mu, var), each (Dy_L, S*MB)."""
+    last-layer marginal (mu, var), each (Dy_L, S*MB).  `deterministic`
+    follows the mean path (eps = 0) — the BN-recalibration contract."""
     MB = X.shape[0]
     F = jnp.broadcast_to(X[None], (S,) + X.shape).reshape(S * MB, X.shape[-1])
     for i, lsp in enumerate(spec.layers[:-1]):
         mu, var = tgp_mod.marginal_qf(lsp, params["layers"][i], F,
                                       diagonal=True)        # (Dy_l, S*MB)
         rng, sub = jax.random.split(rng)
+        if deterministic:
+            F = jnp.swapaxes(mu, 0, 1)                       # (S*MB, Dy_l)
+            continue
         eps = jax.random.normal(sub, mu.shape, mu.dtype)
         F = jnp.swapaxes(mu + jnp.sqrt(var) * eps, 0, 1)     # (S*MB, Dy_l)
     last = spec.layers[-1]
@@ -272,7 +281,7 @@ def finalize_batch_norm(spec: DeepTGPSpec, params, X):
     if not last.has_bn_flow:
         return params
     F, _, _, _ = _propagate(spec, params, jnp.asarray(X, cfg.default_dtype()),
-                            jax.random.PRNGKey(0), 1)
+                            jax.random.PRNGKey(0), 1, deterministic=True)
     new_last = tgp_mod.finalize_batch_norm(last, params["layers"][-1], F)
     layers = list(params["layers"])
     layers[-1] = new_last

@@ -86,24 +86,28 @@ def sample_prior(spec: TGPSpec, params, X, S: int, rng):
 
 
 def propagate_inducing(spec: TGPSpec, params, Z, out_dim: int, rng=None,
-                       how: str = "salimbeni"):
+                       how: str = "salimbeni", W=None):
     """Propagate inducing locations through a layer for deep stacks.
 
     reference: code/dsp/models/utils_models.py:323-352 —
       'salimbeni'          : Z_out = Z @ W with the PCA/identity/pad W,
       'sampling'           : a prior function draw at Z,
       'salimbeni+sampling' : projection, zero-padded dims replaced by draws.
+
+    Pass `W` to reuse the layer's identity-mean projection (SVD of the
+    TRAINING inputs) so Z lands in the same PCA subspace as the propagated
+    X; the default (SVD of Z) only coincides with it when Dy >= Dx.
     """
     Z = np.asarray(Z)
     in_dim = Z.shape[-1]
     if how == "salimbeni":
-        W = projection_matrix(in_dim, out_dim, Z)
+        W = projection_matrix(in_dim, out_dim, Z) if W is None else W
         return Z @ W
     if how == "sampling":
         f = sample_prior(spec, params, jnp.asarray(Z), 1, rng)[0]  # (Dy, M)
         return np.asarray(f).T
     if how == "salimbeni+sampling":
-        W = projection_matrix(in_dim, out_dim, Z)
+        W = projection_matrix(in_dim, out_dim, Z) if W is None else W
         Z_out = Z @ W
         if out_dim > in_dim:
             f = sample_prior(spec, params, jnp.asarray(Z), 1, rng)[0]

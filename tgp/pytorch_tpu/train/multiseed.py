@@ -201,6 +201,19 @@ def _resolve_carry(optimizer, params_stack, carry, R, seed, opt=None,
     return cs, jnp.asarray(carry["rngs"])
 
 
+def _check_replica_axis(params_stack, R):
+    """Every leaf must be replica-stacked (leading axis R, as `stack_trees`
+    produces): the mesh pad/slice/shard helpers identify replica leaves
+    purely by shape[0] == R and would silently pad/truncate a leaf whose
+    leading dim coincidentally equals R without being replica-stacked.
+    A real error, not an assert — `python -O` must not restore the hazard."""
+    for leaf in jax.tree_util.tree_leaves(params_stack):
+        if jnp.ndim(leaf) < 1 or jnp.shape(leaf)[0] != R:
+            raise ValueError(
+                f"params_stack leaf shape {jnp.shape(leaf)} lacks the "
+                f"leading replica axis R={R}; build stacks with stack_trees")
+
+
 def _natgrad_extras(params_stack, natgrad_gamma):
     """(extra_frozen, want_ng): q(U) leaves leave the gradient optimizer
     when natural-gradient VI is on (see train/natgrad.py)."""
@@ -256,13 +269,7 @@ def train_multiseed(spec, params_stack, X_stack, Y_stack, epochs: int,
     being replica-stacked.  Checked (ValueError) below.
     """
     R = X_stack.shape[0]
-    for leaf in jax.tree_util.tree_leaves(params_stack):
-        # a real error, not an assert: `python -O` must not restore the
-        # silent pad/truncate hazard the docstring above warns about
-        if jnp.ndim(leaf) < 1 or jnp.shape(leaf)[0] != R:
-            raise ValueError(
-                f"params_stack leaf shape {jnp.shape(leaf)} lacks the "
-                f"leading replica axis R={R}; build stacks with stack_trees")
+    _check_replica_axis(params_stack, R)
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yd = jnp.asarray(Y_stack) if jnp.issubdtype(
@@ -396,12 +403,14 @@ def train_multiseed_minibatch(spec, params_stack, X_stack, Y_stack,
                                mesh=mesh, carry=carry,
                                return_state=return_state,
                                natgrad_gamma=natgrad_gamma,
-                               natgrad_warmup=natgrad_warmup)
+                               natgrad_warmup=natgrad_warmup,
+                               natgrad_force=natgrad_force)
     if natgrad_warmup is not None:
         raise NotImplementedError(
             "natgrad_warmup is full-batch-only in the vectorized batteries "
             "(the Trainer's minibatch path supports it; the measured Step*-"
             "arch failure mode is a full-batch protocol)")
+    _check_replica_axis(params_stack, R)
     dtype = cfg.default_dtype()
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)
@@ -549,6 +558,7 @@ def eval_multiseed(spec, params_stack, X_stack, Y_stack, Y_std_stack,
     """
     dtype = cfg.default_dtype()
     R = X_stack.shape[0]
+    _check_replica_axis(params_stack, R)
     Xd = jnp.asarray(X_stack, dtype)
     Yraw = jnp.asarray(Y_stack)
     Yd = Yraw if jnp.issubdtype(Yraw.dtype, jnp.integer) else \
