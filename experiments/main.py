@@ -159,6 +159,12 @@ def run_dgp(args, loaders, dc, Z0):
         raise SystemExit("--fast_solves/--solve_precision are not wired "
                          "into the DGP layer specs (measured guidance "
                          "covers shallow models only)")
+    if args.mesh or args.plateau_guard:
+        # unsupported levers must refuse loudly, not run single-device /
+        # unguarded while the user believes otherwise
+        raise SystemExit("--mesh/--plateau_guard are not wired into the "
+                         "DGP path (battery.py --model DGP --mesh shards "
+                         "the seed axis if that is what you need)")
     Dy, Dx = dc["Dy"], dc["Dx"]
     kernel = K.from_name("scale_rbf")
     flow_spec, flow_inits = IDENTITY_SPEC, None

@@ -108,3 +108,42 @@ def test_latest_step_ignores_orbax_tmp_dirs(tmp_path):
     os.makedirs(tmp_path / "step_5")
     os.makedirs(tmp_path / "step_10.orbax-checkpoint-tmp-1717171717")
     assert C.latest_step(str(tmp_path)) == 5
+
+
+def test_trainer_resume_preserves_natgrad_warmup_position(tmp_path):
+    """save() must carry the natgrad warmup step counter: a restored run
+    replaying the gamma ramp from t=0 silently diverges from the
+    uninterrupted trajectory (round-5 review finding)."""
+    from tgp.pytorch_tpu.data.batching import ArrayDataset, DataLoader
+    from tgp.pytorch_tpu.ops import kernels as K
+    from tgp.pytorch_tpu.models import tgp as M
+    from tgp.pytorch_tpu.likelihoods import LikelihoodSpec
+    from tgp.pytorch_tpu.flows import generators as G, spec_from_list
+    from tgp.pytorch_tpu.train import Trainer
+
+    rng = np.random.RandomState(1)
+    X, Y = rng.randn(32, 2), rng.randn(32, 1)
+    fspec, finits = spec_from_list(G.SAL(1))
+    spec = M.TGPSpec(Dy=1, Dx=2, M=4, N=32.0, kernel=K.from_name("scale_rbf"),
+                     likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                               quad_points=12), flow=fspec)
+    params = M.init_tgp_params(spec, X, X[:4], flow_inits=finits)
+    copy = lambda p: jax.tree_util.tree_map(lambda x: np.array(x, copy=True), p)
+    mk = lambda: [DataLoader(ArrayDataset(X, Y), 64, seed=0),
+                  DataLoader(ArrayDataset(X, Y), 64, shuffle=False)]
+    kw = dict(verbose_each=0, natgrad_gamma=0.7, natgrad_warmup=16)
+
+    tr_a = Trainer(spec, copy(params), mk(), Y_std=np.ones(1), S_test=4, seed=3)
+    tr_a.train(8, 0.02, "adam", **kw)   # ramp half-way
+    tr_a.train(8, 0.02, "adam", **kw)
+
+    tr_b = Trainer(spec, copy(params), mk(), Y_std=np.ones(1), S_test=4, seed=3)
+    tr_b.train(8, 0.02, "adam", **kw)
+    tr_b.save(str(tmp_path))
+    tr_c = Trainer(spec, copy(params), mk(), Y_std=np.ones(1), S_test=4, seed=3)
+    tr_c.restore(str(tmp_path))
+    tr_c.train(8, 0.02, "adam", **kw)
+
+    for a, b in zip(jax.tree_util.tree_leaves(tr_a.params),
+                    jax.tree_util.tree_leaves(tr_c.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -144,3 +144,32 @@ def test_bare_log_exp_warp_is_refused_shape():
     wp2 = init_flow_params(wspec2, winits2)
     f2 = flow_forward(wspec2, wp2, y)
     assert float(f2.min()) < -20.0       # linear term restores surjectivity
+
+
+def test_warped_ell_multioutput_jacobian_not_overcounted():
+    """Dy=2 warped ELL must equal the sum of the two per-output Dy=1 ELLs —
+    a scalar log-Jacobian broadcast onto the (Dy,) base would count the
+    Jacobian Dy times (round-5 review finding; latent at Dy=1)."""
+    from tgp.pytorch_tpu.flows import generators as G
+    np.random.seed(0)
+    wspec, winits = spec_from_list(G.SAL(1))
+    lik2 = LikelihoodSpec("warped", 2, quad_points=40, warp_flow=wspec)
+    lik1 = LikelihoodSpec("warped", 1, quad_points=40, warp_flow=wspec)
+    lp2 = init_likelihood_params(lik2, 0.1, warp_inits=winits)
+    # a non-identity warp so the Jacobian term is nonzero
+    lp2["warp"][0]["a"] = jnp.asarray(0.7, lp2["warp"][0]["a"].dtype)
+    lp2["warp"][0]["b"] = jnp.asarray(0.4, lp2["warp"][0]["b"].dtype)
+    rng = np.random.RandomState(1)
+    Y = jnp.array(rng.randn(2, 7))
+    mu = jnp.array(rng.randn(2, 7))
+    var = jnp.array(rng.rand(2, 7) + 0.1)
+    e2 = warped_ell(lik2, lp2, Y, mu, var, wspec, lp2["warp"])
+    assert e2.shape == (2,)
+    total = 0.0
+    for d in range(2):
+        lp1 = {"log_var_noise": lp2["log_var_noise"][d:d + 1],
+               "warp": lp2["warp"]}
+        e1 = warped_ell(lik1, lp1, Y[d:d + 1], mu[d:d + 1], var[d:d + 1],
+                        wspec, lp2["warp"])
+        total += float(e1.sum())
+    np.testing.assert_allclose(float(e2.sum()), total, rtol=1e-9)

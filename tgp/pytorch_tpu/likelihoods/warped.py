@@ -33,10 +33,15 @@ def _forward_and_grad(flow_spec, flow_params, Y):
 
 def warped_ell(spec: LikelihoodSpec, params, Y, mu, var, flow_spec, flow_params):
     """E_q(f)[log p(T(y)|f)] + sum log |dT/dy|.
-    reference: WarpedGaussianLinearMean.py:65-85."""
+    reference: WarpedGaussianLinearMean.py:65-85.
+
+    Shapes: Y/mu/var (Dy, MB); returns (Dy,).  The log-Jacobian is summed
+    PER OUTPUT (axis=-1) — a scalar sum over the whole (Dy, MB) array would
+    broadcast the full Jacobian onto every output row and the caller's
+    jnp.sum would count it Dy times (latent at Dy=1, wrong for Dy>1)."""
     TY, dT = _forward_and_grad(flow_spec, flow_params, Y)
     base = gaussian_ell(spec, params, TY, mu, var)
-    log_jac = jnp.sum(jnp.log(jnp.abs(dT) + 1e-30))
+    log_jac = jnp.sum(jnp.log(jnp.abs(dT) + 1e-30), axis=-1)
     return base + log_jac
 
 
@@ -63,4 +68,5 @@ def warped_log_marginal(spec: LikelihoodSpec, params, Y, mu, K, flow_spec, flow_
     reference: WarpedGaussianLinearMean.py:151-168."""
     TY, dT = _forward_and_grad(flow_spec, flow_params, Y)
     base = gaussian_log_marginal(spec, params, TY, mu, K)
-    return base + jnp.sum(jnp.log(jnp.abs(dT) + 1e-30))
+    # per-output (Dy,) sum, matching gaussian_log_marginal (see warped_ell)
+    return base + jnp.sum(jnp.log(jnp.abs(dT) + 1e-30), axis=-1)

@@ -225,7 +225,12 @@ def guard_step_arch(spec, gamma, force: bool = False, threshold: float = 0.3):
     before a silent 7/10-seed mis-convergence is not enough (round-4
     verdict): the failing configuration now refuses to run without an
     explicit `natgrad_force=True` / `--natgrad_force` override."""
-    flow = getattr(spec, "flow", None) or ()
+    flow = tuple(getattr(spec, "flow", None) or ())
+    # the WGP observation warp is the same mechanism (NGD pins q(U) to the
+    # conditional optimum of a still-uncalibrated, identity-fitted step
+    # warp) — spec.likelihood.warp_flow must not bypass the guard
+    lik = getattr(spec, "likelihood", None)
+    flow = flow + tuple(getattr(lik, "warp_flow", None) or ())
     if gamma > threshold and any(
             getattr(st, "kind", None) == "step_flow" for st in flow):
         msg = (f"natgrad_gamma={gamma} with a step-flow arch mis-converged "

@@ -63,6 +63,18 @@ def frozen_param_labels(spec: TGPSpec, params):
     return jax.tree_util.tree_map(is_frozen, paths)
 
 
+def _uncommitted_key(key):
+    """Host-backed/uncommitted view of an rng key for multi-process jit
+    args.  Raw uint32 keys fetch to numpy; typed keys (cfg.set_rng_impl
+    ('rbg')) cannot be np.asarray'd (CLAUDE.md round-4; multiseed.
+    _host_rngs precedent) — round-trip through key_data/wrap_key_data."""
+    if jnp.issubdtype(jnp.result_type(key), jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(key))
+        return jax.random.wrap_key_data(jnp.asarray(data),
+                                        impl=jax.random.key_impl(key))
+    return np.asarray(key)
+
+
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _eval_batch(spec, params, X, Y, S_MC, fully_bayesian, S_test, Y_std, rng):
     """Jitted one-batch evaluation kernel, keyed by the hashable spec (not a
@@ -169,9 +181,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
-        # multi-process: hand jit a host array so it is auto-replicated
-        # (a committed local device array would conflict with global args)
-        return np.asarray(sub) if self._multihost else sub
+        # multi-process: hand jit a host-backed/uncommitted array so it is
+        # auto-replicated (a committed local device array would conflict
+        # with global args)
+        return _uncommitted_key(sub) if self._multihost else sub
 
     def _put_batch(self, *arrays):
         """Upload batch arrays; dp-sharded across the mesh when one is set.
@@ -571,6 +584,9 @@ class Trainer:
                         "objective")
                 from .optimizers import lbfgs_optimizer
                 optimizer = lbfgs_optimizer()
+                # keep save()'s opt_kind label honest (the other kinds set
+                # this inside _build_phase_optimizer, which lbfgs skips)
+                self._opt_state_kind = "lbfgs"
             else:
                 optimizer = self._build_phase_optimizer(specs, lr_ALL, opt,
                                                         frozen, clip_norm)
@@ -754,6 +770,10 @@ class Trainer:
                    "rng_impl": np.frombuffer(rng_impl.encode(), np.uint8).copy(),
                    "fully_bayesian": np.asarray(self.fully_bayesian),
                    "loader_state": loader_state,
+                   # natgrad warmup position: without it a restored run
+                   # would replay the gamma ramp from t=0 (schedule
+                   # continuity is part of the bit-exact-resume contract)
+                   "ng_t": np.asarray(getattr(self, "_ng_t", 0)),
                    "opt_kind": np.frombuffer(opt_kind.encode(), np.uint8).copy()},
             async_save=async_save)
 
@@ -778,6 +798,8 @@ class Trainer:
             self._opt_state_kind = bytes(np.asarray(extra["opt_kind"])).decode()
         elif opt_state is not None:
             self._opt_state_kind = "adam"   # pre-kind checkpoints were adam
+        if "ng_t" in extra:
+            self._ng_t = int(np.asarray(extra["ng_t"]))
         if self.mesh is not None:
             from ..parallel import param_sharding
             shardings = param_sharding(self.spec, self.params, self.mesh)
@@ -859,8 +881,13 @@ class Trainer:
     # Evaluation (reference: trainers_regression.py:108-225)
     # ------------------------------------------------------------------
     def _eval_batch(self, params, X, Y, S_MC, fully_bayesian, Y_std, rng):
+        # classification metrics never read the predictive samples (only
+        # log_p and the class probabilities) — S_test=1 keeps XLA from
+        # computing S_test posterior sample paths per batch for nothing
+        s = (1 if self.spec.likelihood.kind in ("bernoulli", "categorical")
+             else self.S_test)
         return _eval_batch(self.spec, params, X, Y, S_MC, fully_bayesian,
-                           self.S_test, Y_std, rng)
+                           s, Y_std, rng)
 
     def _metrics_for_loader(self, loader, shard=None, params=None):
         """Accumulate metric sums over `loader` and finalize.
@@ -890,8 +917,12 @@ class Trainer:
                 if rows.size == 0:
                     continue
                 X, Y = np.asarray(X)[rows], np.asarray(Y)[rows]
-                # decorrelate the MC draws across row shards
-                rng = np.asarray(jax.random.fold_in(jnp.asarray(rng), p))
+                # decorrelate the MC draws across row shards (typed rbg
+                # keys pass through fold_in directly; raw ones via asarray)
+                k = rng if jnp.issubdtype(jnp.result_type(rng),
+                                          jax.dtypes.prng_key) \
+                    else jnp.asarray(rng)
+                rng = _uncommitted_key(jax.random.fold_in(k, p))
             Xd = jnp.asarray(X, cfg.default_dtype())
             Yd = jnp.asarray(Y, cfg.default_dtype())
             log_p, m1, samples = self._eval_batch(
