@@ -155,3 +155,16 @@ def test_air_quality_kfold(tmp_path):
 def test_missing_corpus_raises_actionable_error():
     with pytest.raises(FileNotFoundError, match="zero-egress"):
         ucc.load_banknote(1)
+
+
+def test_zero_row_validation_split_keeps_training_set():
+    """use_validation=(seed, 0) must keep every training row: the old
+    perm[:-0] slice EMPTIED the training set (round-5 review finding;
+    same fix applied to the airline/year loaders in data/large.py)."""
+    full = ucc.load_synthetic_binary(seed=1)
+    zero = ucc.load_synthetic_binary(seed=1, use_validation=(0, 0))
+    assert zero["X_tr"].shape[0] == full["X_tr"].shape[0]
+    assert zero["X_va"].shape[0] == 0
+    five = ucc.load_synthetic_binary(seed=1, use_validation=(0, 5))
+    assert five["X_va"].shape[0] == 5
+    assert five["X_tr"].shape[0] == full["X_tr"].shape[0] - 5

@@ -113,3 +113,55 @@ def test_deep_predictive_moments_reasonable():
     s, _, _ = M.sample_predictive(dspec, params, jnp.asarray(X), 16,
                                   jax.random.PRNGKey(0))
     assert s.shape == (1, 16, 64)
+
+
+def _small_deep(X, flow=True):
+    N, Dx = X.shape
+    np.random.seed(0)
+    kern = K.from_name("scale_rbf")
+    if flow:
+        fspec, finits = spec_from_list(G.SAL(1))
+        lik = LikelihoodSpec("gaussian_flow", 1, quad_points=16)
+    else:
+        fspec, finits = None, None
+        lik = LikelihoodSpec("gaussian", 1)
+    inner = D.layer_spec(Dx, Dx, 4, float(N), kern)
+    outer = M.TGPSpec(Dy=1, Dx=Dx, M=4, N=float(N), kernel=kern,
+                      likelihood=lik,
+                      **({"flow": fspec} if fspec else {}))
+    spec = D.DeepTGPSpec(layers=(inner, outer), S_train=2, S_test=5)
+    params = D.init_deep_params(spec, X, X[:4].copy(), flow_inits=finits)
+    return spec, params
+
+
+def test_deep_test_log_likelihood_reduce_false():
+    """reduce=False must return per-point (Dy, MB) densities through the
+    DeepTGPSpec dispatch — the serving path masks padding rows host-side
+    (round-5 review finding: the kwarg was silently dropped)."""
+    X, Y = _toy(N=32)
+    spec, params = _small_deep(X)
+    rng = jax.random.PRNGKey(0)
+    per_point = M.test_log_likelihood(spec, params, X, Y, np.ones(1),
+                                      rng=rng, reduce=False)
+    total = M.test_log_likelihood(spec, params, X, Y, np.ones(1), rng=rng)
+    assert per_point.shape == (1, X.shape[0])
+    np.testing.assert_allclose(np.asarray(per_point.sum(axis=-1)),
+                               np.asarray(total), rtol=1e-10)
+
+
+def test_deep_sample_marginal_and_posterior_ci():
+    """sample_marginal dispatches to the deep model (posterior-CI surface;
+    round-5 review finding: it crashed on spec.M)."""
+    from tgp.pytorch_tpu.models.utils import confidence_intervals
+    X, _ = _toy(N=24)
+    spec, params = _small_deep(X)
+    fk, mu, var, f0 = M.sample_marginal(spec, params, X, 3,
+                                        jax.random.PRNGKey(1))
+    assert fk.shape == (3, 1, X.shape[0]) and f0.shape == fk.shape
+    assert np.isfinite(np.asarray(fk)).all()
+    cis = confidence_intervals(spec, params, X, [0.025, 0.5, 0.975], 16,
+                               jax.random.PRNGKey(2),
+                               distribution="posterior")
+    lo, med, hi = cis[0]
+    assert lo.shape == (X.shape[0],)
+    assert (np.asarray(lo) <= np.asarray(hi)).all()

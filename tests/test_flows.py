@@ -141,3 +141,59 @@ def test_build_chain_combinations():
         params = init_flow_params(spec, inits)
         out = flow_forward(spec, params, jnp.linspace(0.5, 2.0, 9))
         assert out.shape == (9,)
+
+
+def test_vi_hypernet_one_layer_deeper_than_dropout():
+    """Reference depth parity: BNN_VILR(H, num_H+1, ...) (flow.py:875-877,
+    BNN_VILR.py:60-67) gives VI nets num_H+1 hidden layers where the
+    MC-dropout MLPs get num_H (flow.py:665-689)."""
+    from tgp.pytorch_tpu.flows.hypernet import HyperNetSpec
+    mc = HyperNetSpec(in_dim=3, hidden_dim=8, num_hidden=1)
+    vi = HyperNetSpec(in_dim=3, hidden_dim=8, num_hidden=1,
+                      inference="mean_field_gaussian")
+    assert len(mc.layer_dims()) == 2      # 1 hidden + linear output
+    assert len(vi.layer_dims()) == 3      # 2 hidden + linear output
+    assert vi.layer_dims()[:2] == ((3, 8), (8, 8))
+
+
+def test_vi_prior_var_by_flow_family():
+    """VI prior variance is flow-family dependent in the reference:
+    0.5/1e-5 for the 4-param tanh flow (flow.py:697), 1.0 for the 2-param
+    SAL flow (flow.py:874)."""
+    idc = {"inference": "mean_field_gaussian"}
+    sal, _ = spec_from_list([("sinh_arcsinh", {
+        "input_dependent": True, "input_dim": 3,
+        "input_dependent_config": idc})])
+    tanh, _ = spec_from_list([("tanh", {
+        "input_dependent": True, "input_dim": 3,
+        "input_dependent_config": idc})])
+    assert sal[0].hypernet.prior_var == 1.0
+    assert tanh[0].hypernet.prior_var == 0.5 / 1e-5
+
+
+def test_sibling_step_flow_hypernets_decorrelated():
+    """init_flow_params must advance the key past a step_flow recursion:
+    sibling step_flows (or a following top-level input-dependent step)
+    otherwise initialize their hypernets bit-identically."""
+    sub = [("sinh_arcsinh", {"input_dependent": True, "input_dim": 2,
+                             "input_dependent_config": {}})]
+    spec, inits = spec_from_list([("step_flow", {"flow_arr": sub}),
+                                  ("step_flow", {"flow_arr": sub})])
+    params = init_flow_params(spec, inits)
+    W0 = np.asarray(params[0]["sub"][0]["net_a"]["layers"][0]["W"])
+    W1 = np.asarray(params[1]["sub"][0]["net_a"]["layers"][0]["W"])
+    assert not np.allclose(W0, W1)
+
+
+def test_tukey_honors_add_init_f0():
+    """tukey_left/right follow the generalized add_init_f0 contract
+    (fk + f) like every other parametric kind."""
+    f = jnp.linspace(-2.0, 2.0, 17)
+    for kind in ("tukey_left", "tukey_right"):
+        bare = FlowStep(kind)
+        with_f0 = FlowStep(kind, add_init_f0=True)
+        params = {"g": jnp.asarray(0.3), "h": jnp.asarray(0.2)}
+        out_bare = step_forward(bare, params, f)
+        out_f0 = step_forward(with_f0, params, f)
+        np.testing.assert_allclose(np.asarray(out_f0),
+                                   np.asarray(out_bare + f), rtol=1e-12)

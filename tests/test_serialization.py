@@ -45,3 +45,31 @@ def test_spec_json_roundtrip_step_flow_and_spectral_kernel():
                      likelihood=LikelihoodSpec("gaussian_flow", 1, quad_points=16),
                      flow=fspec)
     assert spec_from_json(spec_to_json(spec)) == spec
+
+
+def test_spec_json_roundtrip_solve_levers():
+    """fast_solves/solve_precision are part of the compiled program's
+    identity — dropping them on reload silently redeploys under different
+    numerics (round-5 review finding)."""
+    spec = M.svgp_spec(Dy=1, Dx=2, M=4, N=10.0,
+                       kernel=K.from_name("scale_rbf"),
+                       likelihood=LikelihoodSpec("gaussian", 1),
+                       fast_solves=True, solve_precision="high")
+    spec2 = spec_from_json(spec_to_json(spec))
+    assert spec2 == spec
+    assert spec2.fast_solves and spec2.solve_precision == "high"
+
+
+def test_spec_json_roundtrip_deep():
+    from tgp.pytorch_tpu.models.deep import DeepTGPSpec, layer_spec
+    np.random.seed(0)
+    fspec, _ = spec_from_list(G.SAL(1))
+    inner = layer_spec(3, 2, 4, 20.0, K.from_name("scale_rbf"))
+    outer = M.TGPSpec(Dy=1, Dx=2, M=4, N=20.0,
+                      kernel=K.from_name("scale_rbf"),
+                      likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                quad_points=16),
+                      flow=fspec)
+    spec = DeepTGPSpec(layers=(inner, outer), S_train=2, S_test=7)
+    spec2 = spec_from_json(spec_to_json(spec))
+    assert spec2 == spec and spec2.S_test == 7

@@ -166,14 +166,20 @@ def _replica(X, y, Z0, flow_params):
         torch.set_default_dtype(_PREV_TORCH_DTYPE)
 
 
-def test_vi_anchor_fit_shrinks_logvars():
+def test_vi_anchor_fit_shrinks_output_variance():
     """The identity anchor fit must go through the SAMPLED VI forward
     (reference forward_initializer, flow.py:914-915: is_initializing=False)
-    so the MSE loss drives the logvars down from their variance~1 init
-    (BNN_VILR.py:20-23).  Regression: fitting means only leaves weight
-    variance 1 and the first training ELBO explodes (~-1e23 on boston,
-    NaN in fp32 on TPU)."""
+    so the MSE loss drives the induced OUTPUT variance down from its
+    weight-variance~1 init (BNN_VILR.py:20-23).  Regression: fitting means
+    only leaves the sampled outputs with ~unit scatter and the first
+    training ELBO explodes (~-1e23 on boston, NaN in fp32 on TPU).
+
+    Asserted on the sampled outputs, not per-leaf logvars: in the
+    reference-depth VI net (num_H+1 hidden layers) a layer can keep
+    weight variance ~1 when its inputs are small — only the induced
+    output variance is load-bearing."""
     from tgp.pytorch_tpu.flows.initializers import fit_hypernet_to_anchors
+    from tgp.pytorch_tpu.flows.hypernet import apply_hypernet
     from tgp.pytorch_tpu.models import tgp as M
     from tgp.pytorch_tpu.data import kmeans_centers
 
@@ -187,15 +193,26 @@ def test_vi_anchor_fit_shrinks_logvars():
                       if "logvar" in "/".join(str(k) for k in p) else v),
         params["flow"])
     fp0 = jax.tree_util.tree_map(lambda x: x[0], params["flow"])
+
+    def out_std(fp):
+        step = spec.flow[0]
+        outs = np.stack([
+            np.asarray(apply_hypernet(step.hypernet, fp[0]["net_a"], X,
+                                      rng=jax.random.PRNGKey(i),
+                                      stochastic=True))
+            for i in range(16)])
+        return float(outs.std(axis=0).mean())
+
+    std_before = out_std(fp0)
+    # production epoch count (initializers.py default / sweep.py)
     fp0, loss = fit_hypernet_to_anchors(spec.flow, fp0, [X],
-                                        num_epochs=600, noise_var=0.0)
-    lvs = [v for p, v in jax.tree_util.tree_leaves_with_path(fp0)
-           if "logvar" in jax.tree_util.keystr(p)]
-    assert lvs, "no logvar leaves found in fitted VI flow params"
-    lv_max = max(float(np.max(np.asarray(v))) for v in lvs)
-    assert lv_max < -0.5, f"anchor fit left weight variance high: {lv_max}"
+                                        num_epochs=2000, noise_var=0.0)
+    std_after = out_std(fp0)
+    assert std_before > 1.0, std_before
+    assert std_after < 0.35, \
+        f"anchor fit left sampled-output scatter high: {std_after}"
     # the sampled-forward MSE has an irreducible sampling-variance floor;
-    # the load-bearing assertions are the logvar shrink and finite ELBO
+    # the load-bearing assertions are the variance shrink and finite ELBO
     assert loss < 2.0, loss
     params["flow"] = jax.tree_util.tree_map(
         lambda x: jnp.stack([x] * 1), fp0)

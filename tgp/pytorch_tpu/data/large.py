@@ -71,12 +71,11 @@ def load_airline(seed: int = 1, use_validation=None, data_dir: str | None = None
     X_te, Y_te = data[te, :-1], data[te, -1:]
     X_va = Y_va = None
     if use_validation is not None:
+        # shared helper, not perm[:-n_val]: that form empties the training
+        # set when n_val == 0
         val_seed, n_val = use_validation
-        np.random.seed(val_seed)
-        perm = np.random.permutation(X_tr.shape[0])
-        keep, va = perm[:-n_val], perm[-n_val:]
-        X_va, Y_va = X_tr[va], Y_tr[va]
-        X_tr, Y_tr = X_tr[keep], Y_tr[keep]
+        X_tr, Y_tr, X_va, Y_va = random_split_validation(
+            X_tr, Y_tr, val_seed, n_val)
     return standard_normalize(X_tr, Y_tr, X_va, Y_va, X_te, Y_te)
 
 
@@ -98,12 +97,11 @@ def load_year(seed: int = 1, use_validation=None, data_dir: str | None = None,
     X_tr, Y_tr, X_te, Y_te = X[:n_tr], Y[:n_tr], X[n_tr:], Y[n_tr:]
     X_va = Y_va = None
     if use_validation is not None:
+        # shared helper, not perm[:-n_val]: that form empties the training
+        # set when n_val == 0
         val_seed, n_val = use_validation
-        np.random.seed(val_seed)
-        perm = np.random.permutation(X_tr.shape[0])
-        keep, va = perm[:-n_val], perm[-n_val:]
-        X_va, Y_va = X_tr[va], Y_tr[va]
-        X_tr, Y_tr = X_tr[keep], Y_tr[keep]
+        X_tr, Y_tr, X_va, Y_va = random_split_validation(
+            X_tr, Y_tr, val_seed, n_val)
     return standard_normalize(X_tr, Y_tr, X_va, Y_va, X_te, Y_te)
 
 

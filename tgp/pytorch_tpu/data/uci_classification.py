@@ -182,12 +182,12 @@ def _finish(X_tr, y_tr, X_te, y_te, use_validation, categorical_cols=()):
     y_te = y_te.reshape(-1, 1)
     X_va = Y_va = None
     if use_validation is not None:
+        # shared helper, not perm[:-n_val]: that form empties the training
+        # set when n_val == 0
+        from .splits import random_split_validation
         val_seed, n_val = use_validation
-        np.random.seed(val_seed)
-        perm = np.random.permutation(X_tr.shape[0])
-        keep, va = perm[:-n_val], perm[-n_val:]
-        X_va, Y_va = X_tr[va], y_tr[va]
-        X_tr, y_tr = X_tr[keep], y_tr[keep]
+        X_tr, y_tr, X_va, Y_va = random_split_validation(
+            X_tr, y_tr, val_seed, n_val)
     out = standard_normalize(X_tr, y_tr, X_va, Y_va, X_te, y_te,
                              categorical_cols=categorical_cols,
                              normalize_y=False)

@@ -95,11 +95,16 @@ _HYPER_CAPABLE = ("sinh_arcsinh", "tanh")
 # Spec construction from the reference's list-of-(name, kwargs) format
 # ===========================================================================
 
-def _hyper_spec_from_kwargs(kw: dict) -> Optional[HyperNetSpec]:
+def _hyper_spec_from_kwargs(kw: dict, kind: str) -> Optional[HyperNetSpec]:
     if not kw.get("input_dependent", False):
         return None
     idc = kw.get("input_dependent_config", {}) or {}
     in_dim = int(kw["input_dim"])
+    # VI prior variance differs by flow family in the reference: the
+    # 4-parameter tanh flow uses 0.5/1e-5 ("equivalent Gaussian prior to
+    # weight decay 1e-5", flow.py:697) while the 2-parameter SAL flow uses
+    # 1.0 (flow.py:874).  Unused under MC_dropout.
+    prior_var = 0.5 / 1e-5 if kind == "tanh" else 1.0
     return HyperNetSpec(
         in_dim=in_dim,
         hidden_dim=int(idc.get("hidden_dim", in_dim)),
@@ -108,7 +113,7 @@ def _hyper_spec_from_kwargs(kw: dict) -> Optional[HyperNetSpec]:
         dropout=float(idc.get("dropout", 0.0)),
         batch_norm=bool(idc.get("batch_norm", 0)),
         inference=idc.get("inference", "MC_dropout"),
-        prior_var=1.0 if idc.get("inference") == "mean_field_gaussian" else 1.0,
+        prior_var=prior_var,
     )
 
 
@@ -142,7 +147,8 @@ def spec_from_list(flow_list) -> Tuple[Tuple[FlowStep, ...], list]:
             continue
         add_f0 = bool(kw.get("add_init_f0", False))
         set_res = bool(kw.get("set_restrictions", False)) or add_f0
-        hyper = _hyper_spec_from_kwargs(kw) if name in _HYPER_CAPABLE else None
+        hyper = (_hyper_spec_from_kwargs(kw, name)
+                 if name in _HYPER_CAPABLE else None)
         constraint = "none"
         if name in ("boxcox", "inverseboxcox") and kw.get("constraint") not in (None, "none"):
             constraint = str(kw["constraint"])
@@ -205,7 +211,13 @@ def init_flow_params(spec: Tuple[FlowStep, ...], inits=None, key=None, dtype=Non
     for i, step in enumerate(spec):
         ivals = (inits[i] if inits is not None else None) or {}
         if step.kind == "step_flow":
-            sub_params = init_flow_params(step.sub, ivals.get("sub"), key, dtype)
+            # advance the key past the recursion: sibling step_flows (and
+            # any later input-dependent step) must not re-consume the same
+            # stream, or their hypernets initialize bit-identically —
+            # defeating the per-step decorrelation the generators rely on
+            key, sub_key = jax.random.split(key)
+            sub_params = init_flow_params(step.sub, ivals.get("sub"),
+                                          sub_key, dtype)
             gates = []
             n_steps = len(step.sub)
             for s in step.sub:
@@ -383,7 +395,11 @@ def step_forward(step: FlowStep, params, f, X=None, ctx: FlowCtx = FlowCtx()):
         if k == "tukey_left":
             g = -g
         h = softplus(params["h"])
-        return (1.0 / g) * (safe_exp(g * f) - 1.0) * safe_exp(h * jnp.square(f) / 2.0)
+        fk = (1.0 / g) * (safe_exp(g * f) - 1.0) * safe_exp(h * jnp.square(f) / 2.0)
+        # honor add_init_f0 like every other parametric kind (the reference
+        # TukeyFlow stores but silently drops it, flow.py:480-520 — here the
+        # generalized contract applies; no committed generator sets it)
+        return fk + f if step.add_init_f0 else fk
     if k == "normalCDF":
         if step.learnable:
             a, b, c, d = params["a"], params["b"], params["c"], params["d"]
@@ -439,6 +455,9 @@ def flow_forward(spec: Tuple[FlowStep, ...], params, f, X=None,
 
 # -- analytic inverses where available, Newton fallback ----------------------
 
+# kinds with a closed-form inverse — the step_inverse dispatch list; every
+# other kind (and any add_init_f0 / input-dependent step) takes the Newton
+# fallback (reference flow.py:111-133)
 _ANALYTIC_INVERSE = ("identity", "exp", "log", "softplus", "softminus",
                      "affine", "translation", "sinh_arcsinh",
                      "inverse_sinh_arcsinh", "arcsinh", "inverse_arcsinh",
@@ -447,8 +466,6 @@ _ANALYTIC_INVERSE = ("identity", "exp", "log", "softplus", "softminus",
 
 def _step_inverse_analytic(step: FlowStep, params, f):
     k = step.kind
-    if step.add_init_f0 or step.input_dependent:
-        raise NotImplementedError
     if k == "identity":
         return f
     if k == "exp":
@@ -466,14 +483,14 @@ def _step_inverse_analytic(step: FlowStep, params, f):
         return f - params["b"]
     if k == "sinh_arcsinh":
         b = _maybe_pos(params["b"], step.set_restrictions)
-        return jnp.sinh((_asinh(f) + params["a"]) / b)
+        return safe_sinh((_asinh(f) + params["a"]) / b)
     if k == "inverse_sinh_arcsinh":
         b = _maybe_pos(params["b"], step.set_restrictions)
-        return jnp.sinh(b * _asinh(f) - params["a"])
+        return safe_sinh(b * _asinh(f) - params["a"])
     if k == "arcsinh":
         b = _maybe_pos(params["b"], step.set_restrictions)
         d = _maybe_pos(params["d"], step.set_restrictions)
-        return params["c"] + d * jnp.sinh((f - params["a"]) / b)
+        return params["c"] + d * safe_sinh((f - params["a"]) / b)
     if k == "inverse_arcsinh":
         b = _maybe_pos(params["b"], step.set_restrictions)
         d = _maybe_pos(params["d"], step.set_restrictions)
@@ -504,10 +521,10 @@ def newton_inverse(fwd, target, init=None, iters: int = 100, clamp: float = 1e-4
 
 
 def step_inverse(step: FlowStep, params, f, iters: int = 100):
-    try:
+    if (step.kind in _ANALYTIC_INVERSE and not step.add_init_f0
+            and not step.input_dependent):
         return _step_inverse_analytic(step, params, f)
-    except NotImplementedError:
-        return newton_inverse(lambda x: step_forward(step, params, x), f, iters=iters)
+    return newton_inverse(lambda x: step_forward(step, params, x), f, iters=iters)
 
 
 def flow_inverse(spec: Tuple[FlowStep, ...], params, f, iters: int = 100):

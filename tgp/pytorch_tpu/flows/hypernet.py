@@ -27,11 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config as cfg
+from ..ops.transforms import safe_tanh
 
 
 ACTS = {
     "relu": jax.nn.relu,
-    "tanh": jnp.tanh,
+    # safe_tanh, not jnp.tanh: the TPU f64-emulation lowering returns NaN
+    # for large finite args (see ops/transforms.py) and hypernet hidden
+    # pre-activations are unbounded
+    "tanh": safe_tanh,
     "gelu": jax.nn.gelu,
     "sigmoid": jax.nn.sigmoid,
     "linear": lambda x: x,
@@ -64,9 +68,19 @@ class HyperNetSpec:
                 "batch_norm is only supported for MC_dropout hypernets")
 
     def layer_dims(self) -> Tuple[Tuple[int, int], ...]:
+        """(din, dout) per linear layer, ending in the scalar output.
+
+        VI nets are ONE hidden layer deeper than MC-dropout nets at the
+        same num_hidden: the reference builds its dropout MLPs with num_H
+        hidden blocks (flow.py:665-689) but its VI nets as
+        BNN_VILR(H, num_H+1, ...) = an in->H layer plus num_H H->H layers
+        plus the linear output (flow.py:875-877, BNN_VILR.py:60-67)."""
+        n_hidden = self.num_hidden
+        if self.inference == "mean_field_gaussian":
+            n_hidden += 1
         dims = []
         d = self.in_dim
-        for _ in range(self.num_hidden):
+        for _ in range(n_hidden):
             dims.append((d, self.hidden_dim))
             d = self.hidden_dim
         dims.append((d, 1))

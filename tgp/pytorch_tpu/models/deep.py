@@ -193,10 +193,12 @@ def elbo(spec: DeepTGPSpec, params, X, Y, rng: Optional[jax.Array] = None):
 
 def test_log_likelihood(spec: DeepTGPSpec, params, X, Y, Y_std, *,
                         S_MC: int = 1, fully_bayesian: bool = False,
-                        rng=None):
+                        rng=None, reduce: bool = True):
     """Deep predictive log-density via the double-integration estimator:
     GH quadrature per propagated sample, then LSE over the S_test samples
-    minus log S (sparse_MF_SP.py:764-768 structure).  Returns (Dy,)."""
+    minus log S (sparse_MF_SP.py:764-768 structure).  Returns (Dy,), or
+    per-point (Dy, MB) with reduce=False (the serving path's contract,
+    serve.py — padding rows are masked host-side)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     S = spec.S_test
@@ -225,7 +227,7 @@ def test_log_likelihood(spec: DeepTGPSpec, params, X, Y, Y_std, *,
     logw = jnp.log(gh.weights(mu.dtype)).reshape(-1, 1, 1, 1)
     per_sample = jax.nn.logsumexp(logw + logp, axis=0) - 0.5 * math.log(math.pi)
     log_p = jax.nn.logsumexp(per_sample, axis=1) - math.log(S)  # (Dy, MB)
-    return jnp.sum(log_p, axis=-1)
+    return jnp.sum(log_p, axis=-1) if reduce else log_p
 
 
 def predictive_distribution(spec: DeepTGPSpec, params, X, *, S_MC: int = 1,
@@ -252,6 +254,30 @@ def predictive_distribution(spec: DeepTGPSpec, params, X, *, S_MC: int = 1,
     m1 = jnp.mean(m1s, axis=1)
     m2 = jnp.mean(m2s + m1s ** 2, axis=1) - m1 ** 2
     return m1, m2, mu, var
+
+
+def sample_marginal(spec: DeepTGPSpec, params, X, S: int, rng,
+                    fully_bayesian: bool = False):
+    """S doubly-stochastic samples from the warped last-layer marginal:
+    propagate S inner-layer paths, draw f0 ~ N(mu, var) once per path, warp.
+
+    Matches models/tgp.py::sample_marginal's return contract
+    (fk, mu, var, f0) with fk/f0 (S, Dy, MB); mu/var stay in the propagated
+    (Dy, S*MB) layout (the CI callers only consume the samples)."""
+    MB = X.shape[0]
+    last = spec.layers[-1]
+    F, mu, var, rng = _propagate(spec, params, X, rng, S)
+    r1, r2 = jax.random.split(rng)
+    f0 = mu + jnp.sqrt(var) * jax.random.normal(r1, mu.shape, mu.dtype)
+    if last.has_flow:
+        warp = _last_warp(spec, params, F, r2, stochastic=fully_bayesian)
+        fk = warp(f0[None])[0]
+    else:
+        fk = f0
+    Dy = last.Dy
+    # propagated columns are S-major (s*MB + mb, see _propagate)
+    to_s = lambda a: jnp.moveaxis(a.reshape(Dy, S, MB), 1, 0)
+    return to_s(fk), mu, var, to_s(f0)
 
 
 def sample_predictive(spec: DeepTGPSpec, params, X, S: int, rng,

@@ -63,7 +63,11 @@ def _lik_from_dict(d) -> LikelihoodSpec:
                           tuple(_step_from_dict(s) for s in d["warp_flow"]))
 
 
-def spec_to_dict(spec: TGPSpec) -> dict:
+def spec_to_dict(spec) -> dict:
+    if hasattr(spec, "layers"):          # DeepTGPSpec
+        return {"deep": True,
+                "layers": [spec_to_dict(l) for l in spec.layers],
+                "S_train": spec.S_train, "S_test": spec.S_test}
     return {
         "Dy": spec.Dy, "Dx": spec.Dx, "M": spec.M, "N": spec.N,
         "kernel": _kernel_to_dict(spec.kernel),
@@ -78,10 +82,20 @@ def spec_to_dict(spec: TGPSpec) -> dict:
         "q_U_is_shared": spec.q_U_is_shared,
         "flow_is_shared": spec.flow_is_shared,
         "min_var": spec.min_var, "remat": spec.remat,
+        # solve levers are part of the compiled program's identity: dropping
+        # them on reload would silently redeploy a --fast_solves /
+        # --solve_precision model under different numerics
+        "fast_solves": spec.fast_solves,
+        "solve_precision": spec.solve_precision,
     }
 
 
-def spec_from_dict(d: dict) -> TGPSpec:
+def spec_from_dict(d: dict):
+    if d.get("deep"):
+        from .deep import DeepTGPSpec
+        return DeepTGPSpec(
+            layers=tuple(spec_from_dict(l) for l in d["layers"]),
+            S_train=d["S_train"], S_test=d["S_test"])
     return TGPSpec(
         Dy=d["Dy"], Dx=d["Dx"], M=d["M"], N=d["N"],
         kernel=_kernel_from_dict(d["kernel"]),
@@ -95,6 +109,8 @@ def spec_from_dict(d: dict) -> TGPSpec:
         mean_is_shared=d["mean_is_shared"], q_U_is_shared=d["q_U_is_shared"],
         flow_is_shared=d["flow_is_shared"], min_var=d["min_var"],
         remat=d.get("remat", False),
+        fast_solves=d.get("fast_solves", False),
+        solve_precision=d.get("solve_precision", "highest"),
     )
 
 

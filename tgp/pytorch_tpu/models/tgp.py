@@ -689,7 +689,9 @@ def test_log_likelihood(spec: TGPSpec, params, X, Y, Y_std, *, S_MC: int = 1,
     """
     if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
         from . import deep
-        return deep.test_log_likelihood(spec, params, X, Y, Y_std, S_MC=S_MC, fully_bayesian=fully_bayesian, rng=rng)
+        return deep.test_log_likelihood(spec, params, X, Y, Y_std, S_MC=S_MC,
+                                        fully_bayesian=fully_bayesian,
+                                        rng=rng, reduce=reduce)
     MB = X.shape[0]
     X3 = _ensure_3d(spec, X)
     lik = spec.likelihood
@@ -774,6 +776,9 @@ def sample_marginal(spec: TGPSpec, params, X, S: int, rng,
     reference: code/dsp/models/sparse_MF_SP.py:837-937.
     Returns (fk, mu, var, f0): fk, f0 (S, Dy, MB).
     """
+    if hasattr(spec, "layers"):         # DeepTGPSpec dispatch
+        from . import deep
+        return deep.sample_marginal(spec, params, X, S, rng, fully_bayesian)
     X3 = _ensure_3d(spec, X)
     mu, var = marginal_qf(spec, params, X3, diagonal=True)
     rng, sub = jax.random.split(rng)

@@ -212,15 +212,20 @@ class VILinear(nn.Module):
 
 class VIMLP(nn.Module):
     """Stack of VILinear layers with activations between (and sampling at
-    every layer including the last — the framework's apply_hypernet VI
-    path; reference BNN_VILR.py:47-76)."""
+    every layer including the last; reference BNN_VILR.py:47-76).
+
+    Depth matches the reference's BNN_VILR(H, num_H+1, ...) construction
+    (flow.py:875-877): an in->H layer plus n_hidden_layers H->H layers plus
+    the linear output — i.e. ONE hidden layer more than the MC-dropout MLP
+    at the same config (the framework's HyperNetSpec.layer_dims mirrors
+    this)."""
 
     def __init__(self, din, hidden, n_hidden_layers, act, prior_var=1.0):
         super().__init__()
         acts = {"relu": torch.relu, "tanh": torch.tanh}
         self.act = acts[act]
         dims, d = [], din
-        for _ in range(n_hidden_layers):
+        for _ in range(n_hidden_layers + 1):
             dims.append((d, hidden))
             d = hidden
         dims.append((d, 1))
