@@ -185,6 +185,14 @@ def main():
             raise SystemExit(
                 f"checkpoint {args.ckpt} was written by a different battery "
                 f"config:\n  ckpt: {resume['meta']}\n  this: {ckpt_meta}")
+        if resume["epochs_done"] >= args.epochs:
+            # completed-cell guard (torch_replica.py has the same): a retry
+            # wrapper relaunching a finished battery must not re-run eval
+            # and append duplicate rows to the shared --out jsonl
+            raise SystemExit(
+                f"checkpoint {args.ckpt} is already complete "
+                f"({resume['epochs_done']}/{args.epochs} epochs); delete it "
+                f"to re-run this cell")
         print(f"resuming from {args.ckpt}: "
               f"{resume['epochs_done']}/{args.epochs} epochs done")
 

@@ -98,14 +98,18 @@ def run_one(model, dataset, seed, M, epochs, precision, suite,
         fp0, _ = fit_hypernet_to_anchors(flow_spec, fp0, batches, num_epochs=2000)
         params["flow"] = jtu.tree_map(lambda x: jnp.stack([x] * Dy_model), fp0)
 
+    # ID hypernets keep their groups (wd 1e-5 on net_, reference
+    # main.py:274-288) in EVERY phase — the classification hold phase
+    # included (battery.py's specs_hold does the same)
+    specs = None
+    if model == "ID_TGP":
+        specs = [[0.01, 1e-5, "net_"], [0.01, 0.0, "flow"]]
     # schedule: classification holds kernel params for 2000 epochs
     if is_class:
         frac = min(1.0, EC.HOLD_K_PARAMS_EPOCHS / epochs)
-        sched = ([frac, 1.0 - frac], [[[0.0, "kernel"]], None])
+        sched = ([frac, 1.0 - frac],
+                 [[[0.0, "kernel"]] + (specs or []), specs])
     else:
-        specs = None
-        if model == "ID_TGP":
-            specs = [[0.01, 1e-5, "net_"], [0.01, 0.0, "flow"]]
         sched = ([1.0], [specs])
 
     trainer = Trainer(spec, params, loaders, dc["Y_std"], S_test=100)
@@ -175,9 +179,13 @@ def main():
                           args.suite, arch_override=arch_override)
             if arch_override:
                 rec["arch"] = args.arch
-        except FileNotFoundError as e:
+        except Exception as e:
+            # record-and-continue for ANY per-cell failure: one diverging
+            # cell (nan_guard FloatingPointError, a recorded behavior for
+            # some archs) must not kill the rest of a multi-hundred-cell
+            # grid.  The error lands in the jsonl, never hidden.
             rec = {"model": model, "dataset": ds, "seed": seed, "M": M,
-                   "error": str(e)}
+                   "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(rec), flush=True)
         if out:
             out.write(json.dumps(rec) + "\n")

@@ -84,27 +84,44 @@ int tgp_csv_shape(const char* path, char sep, int ws_mode, int64_t* rows,
 static void parse_chunk(const char* buf, size_t begin, size_t end, size_t n,
                         char sep, int ws_mode, int64_t cols, double* out,
                         const int64_t* row_offsets, int64_t row_begin,
-                        int64_t row_end, locale_t c_loc,
+                        int64_t row_end, int64_t total_rows, locale_t c_loc,
                         std::atomic<int>* err) {
-  (void)begin; (void)end; (void)n;
+  (void)begin; (void)end;
   for (int64_t r = row_begin; r < row_end; ++r) {
     const char* p = buf + row_offsets[r];
+    // hard end of THIS row: strtod skips leading whitespace INCLUDING
+    // newlines, so without this bound a short/ragged row would silently
+    // pull its missing fields from the next line
+    const char* row_lim = (r + 1 < total_rows) ? buf + row_offsets[r + 1]
+                                               : buf + n;
     for (int64_t c = 0; c < cols; ++c) {
+      while (p < row_lim && (*p == ' ' || *p == '\t')) ++p;
+      if (p >= row_lim || *p == '\n' || *p == '\r') {
+        err->store(1, std::memory_order_relaxed);  // row ended early
+        return;
+      }
       char* q;
       // strtod_l with an explicit C locale: plain strtod is
       // LC_NUMERIC-dependent (a comma-decimal locale would silently
       // misparse md5-pinned dot-decimal corpora)
       out[r * cols + c] = strtod_l(p, &q, c_loc);
-      if (q == p) {  // malformed/empty field: error out, never silently 0.0
-        err->store(1, std::memory_order_relaxed);
+      if (q == p || q > row_lim) {  // malformed/empty field: error out,
+        err->store(1, std::memory_order_relaxed);  // never silently 0.0
         return;
       }
       p = q;
       if (ws_mode) {
-        while (*p == ' ' || *p == '\t') ++p;
-      } else if (*p == sep) {
+        while (p < row_lim && (*p == ' ' || *p == '\t')) ++p;
+      } else if (p < row_lim && *p == sep) {
         ++p;
       }
+    }
+    // a LONGER row (extra fields) must error too, not be silently truncated
+    while (p < row_lim && (*p == ' ' || *p == '\t' || *p == '\r'
+                           || *p == '\n')) ++p;
+    if (p < row_lim) {
+      err->store(1, std::memory_order_relaxed);
+      return;
     }
   }
 }
@@ -143,7 +160,7 @@ int tgp_csv_parse(const char* path, char sep, int ws_mode, double* out,
     int64_t rb = t * per, re = std::min<int64_t>(rows, rb + per);
     if (rb >= re) break;
     workers.emplace_back(parse_chunk, buf, 0, 0, n, sep, ws_mode, cols, out,
-                         offsets.data(), rb, re, c_loc, &err);
+                         offsets.data(), rb, re, rows, c_loc, &err);
   }
   for (auto& w : workers) w.join();
   freelocale(c_loc);

@@ -80,3 +80,23 @@ def test_battery_ckpt_meta_mismatch_refuses(tmp_path):
                        cwd=REPO)
     assert p.returncode != 0
     assert "different battery config" in (p.stdout + p.stderr)
+
+
+def test_battery_completed_ckpt_refuses_rerun(tmp_path):
+    """Relaunching a battery whose checkpoint already reached the final
+    epoch must refuse (exit nonzero) instead of re-running eval and
+    appending duplicate rows to the shared --out jsonl."""
+    tmp = str(tmp_path)
+    ck = os.path.join(tmp, "done.pkl")
+    out, _ = _run(tmp, "full", ["--ckpt", ck])
+    n_rows = len(open(out).read().strip().splitlines())
+    cmd = [sys.executable, BATTERY, "--model", "SVGP",
+           "--dataset", "boston", "--num_inducing", "5",
+           "--seeds", "1-2", "--epochs", "20", "--batch_size", "256",
+           "--platform", "cpu", "--ckpt_each", "10",
+           "--out", out, "--ckpt", ck]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                       cwd=REPO)
+    assert p.returncode != 0
+    assert "already complete" in (p.stdout + p.stderr)
+    assert len(open(out).read().strip().splitlines()) == n_rows

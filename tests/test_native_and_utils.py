@@ -87,3 +87,21 @@ def test_archive_roundtrip(tmp_path):
     assert (dest / "a.txt").read_text() == "hello"
     assert check_integrity(str(zpath))
     assert not check_integrity(str(zpath), md5="0" * 32)
+
+
+def test_native_csv_ragged_rows_error_not_garbage(tmp_path):
+    """strtod skips newlines, so without a per-row bound a short row would
+    silently pull its missing fields from the NEXT line (round-5 review
+    finding).  Ragged files (short or long rows) must error into the
+    pandas fallback (read_csv -> None), never return silently wrong data."""
+    short = tmp_path / "short.csv"
+    short.write_text("1.5\n7.25,8.5\n")
+    assert native.read_csv(str(short)) is None
+    long_ = tmp_path / "long.csv"
+    long_.write_text("1.5,2.5\n7.25,8.5,9.9\n")
+    assert native.read_csv(str(long_)) is None
+    crlf = tmp_path / "crlf.tsv"
+    crlf.write_text("1.5   2.5\r\n7.25   8.5\r\n")
+    out = native.read_csv(str(crlf), sep=" ", ws_mode=True)
+    if out is not None:            # skip-free on hosts without the lib
+        np.testing.assert_array_equal(out, [[1.5, 2.5], [7.25, 8.5]])

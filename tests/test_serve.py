@@ -128,3 +128,49 @@ def test_predictor_map_matches_sequential_predicts():
     for om, os_ in zip(outs_map, outs_seq):
         for k in om:
             np.testing.assert_allclose(om[k], os_[k], rtol=1e-6)
+
+
+def test_predictor_quantile_validation_and_empty_request():
+    """Unsorted quantile pairs are normalized (lower < upper), >2 quantiles
+    and empty requests are refused (round-5 review findings: [0]/[-1] of
+    the caller's tuple order silently swapped/dropped bands; a 0-row
+    request compiled a fresh batch-0 program and produced NaN bands)."""
+    spec, params, X = _model()
+    pred = Predictor(spec, params, Y_std=2.0, Y_mean=5.0, buckets=(16, 64))
+    # a reversed pair must still give lower <= upper (the old [0]/[-1]
+    # indexing of the caller's order returned the 97.5% band as "lower")
+    rev = pred.predict(X[:6], samples=64, quantiles=(0.975, 0.025))
+    assert (rev["lower"] <= rev["upper"]).all()
+    rev_j = pred.predict(X[:6], quantiles=(0.975, 0.025))  # in-jit path
+    assert (rev_j["lower"] <= rev_j["upper"]).all()
+    with pytest.raises(ValueError):
+        pred.predict(X[:6], quantiles=(0.025, 0.5, 0.975))
+    with pytest.raises(ValueError):
+        pred.predict(X[:0])
+
+
+def test_predictor_serves_deep_model():
+    """A DeepTGPSpec is servable end-to-end: spec serialization round-trips
+    it and log_prob's reduce=False dispatch returns per-point densities."""
+    from tgp.pytorch_tpu.models import deep as D
+    from tgp.pytorch_tpu.models.serialization import spec_to_json, spec_from_json
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 3)
+    kern = K.from_name("scale_rbf")
+    inner = D.layer_spec(3, 3, 4, 40.0, kern)
+    outer = M.TGPSpec(Dy=1, Dx=3, M=4, N=40.0, kernel=kern,
+                      likelihood=LikelihoodSpec("gaussian", 1))
+    dspec = D.DeepTGPSpec(layers=(inner, outer), S_train=2, S_test=4)
+    params = D.init_deep_params(dspec, X, X[:4].copy())
+    dspec2 = spec_from_json(spec_to_json(dspec))
+    pred = Predictor(dspec2, params, Y_std=1.0, Y_mean=0.0, buckets=(16,))
+    out = pred.predict(X[:7])
+    assert out["mean"].shape == (1, 7)
+    assert np.isfinite(out["mean"]).all() and (out["var"] > 0).all()
+    Y = rng.randn(7, 1)
+    lp = pred.log_prob(X[:7], Y)   # per-request total over the 7 rows
+    assert lp.shape == (1,) and np.isfinite(np.asarray(lp)).all()
+    # padding exactness: the 16-bucket pad rows must not leak into the sum
+    # (this is what deep test_log_likelihood's reduce=False dispatch buys)
+    lp5 = pred.log_prob(X[:5], Y[:5])
+    assert not np.allclose(np.asarray(lp), np.asarray(lp5))

@@ -130,6 +130,11 @@ class Predictor:
     def _pad(self, X):
         X = np.asarray(X, cfg.default_dtype())
         n = X.shape[0]
+        if n == 0:
+            # repeating X[-1:] of an empty array yields a 0-row "padded"
+            # batch: XLA would compile a fresh batch-0 program (defeating
+            # the bucket design) and quantiles over it are NaN
+            raise ValueError("empty request (0 rows)")
         b = _bucket_for(n, self.buckets)
         if n < b:
             X = np.concatenate([X, np.repeat(X[-1:], b - n, axis=0)], axis=0)
@@ -143,6 +148,15 @@ class Predictor:
         JAX dispatch is asynchronous — this returns as soon as the program
         is enqueued, letting `map` overlap many requests' device round
         trips before any result is awaited."""
+        if quantiles:
+            # the API returns exactly (lower, upper) — silently dropping
+            # extra entries or honoring an unsorted pair would swap/lose
+            # bands; normalize and refuse anything but a 2-quantile band
+            qs = tuple(sorted(float(q) for q in quantiles))
+            if len(qs) != 2 or not 0.0 < qs[0] < qs[1] < 1.0:
+                raise ValueError(
+                    f"quantiles must be two values in (0, 1), got {quantiles}")
+            quantiles = qs
         Xp, n = self._pad(X)
         S_MC = self.S_MC if self.fully_bayesian else 1
         base, ctr = self._next_rng()

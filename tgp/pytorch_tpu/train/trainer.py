@@ -608,11 +608,17 @@ class Trainer:
                 chunk = int(min(phase_epochs, 2000, ve))
                 done = 0
                 t0 = time.time()
+                # L-BFGS: ONE rng for the whole phase, not one per chunk —
+                # the linesearch/curvature memory carries across chunk
+                # boundaries, so the objective must not shift with them
+                # (_make_lbfgs_scan's determinism requirement)
+                phase_rng = self._next_rng() if opt == "lbfgs" else None
                 while done < phase_epochs:
                     n = min(chunk, phase_epochs - done,
                             ve - (ep_done % ve) if ve <= epochs else chunk)
                     self.params, opt_state, curves = run_steps(
-                        self.params, opt_state, Xd, Yd, self._next_rng(),
+                        self.params, opt_state, Xd, Yd,
+                        phase_rng if opt == "lbfgs" else self._next_rng(),
                         self._chunk_gammas(n) if self._natgrad_warmup else n)
                     prev_ep = ep_done
                     done += n
