@@ -245,9 +245,11 @@ def test_natgrad_composes_with_id_hypernets():
                                     flow_inits=finits)
         # the identity anchor fit the CLI always runs for ID flows —
         # required for VI-hypernet fp32 stability (CLAUDE.md / flow
-        # initializer docs); shortened for test speed
+        # initializer docs).  Production epoch count: the reference-depth
+        # VI net (num_H+1 hidden layers) calibrates slower than the
+        # 400-epoch shortcut tolerated before.
         params["flow"], _ = fit_hypernet_to_anchors(
-            spec.flow, params["flow"], [X], num_epochs=400)
+            spec.flow, params["flow"], [X], num_epochs=2000)
         loaders = [DataLoader(ArrayDataset(X, Y), N, shuffle=False)]
         tr = Trainer(spec, params, loaders, Y_std=np.ones(1), seed=0)
         tr.train(30, 0.01, "adam", verbose_each=0, natgrad_gamma=0.5)
