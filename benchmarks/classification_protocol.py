@@ -50,10 +50,10 @@ def run(kind: str, epochs: int, model: str = "TGP", train_seed: int = 0,
     # (data/uci_classification.py::synthetic_corpus) so protocol cells and
     # batteries are comparable by construction
     from tgp.pytorch_tpu.data.uci_classification import synthetic_corpus
-    N, Dx = 1200, 4
     if kind == "binary":
         X, y = synthetic_corpus("binary")
         y = y.reshape(-1, 1)
+        N, Dx = X.shape
         C, Dy_model = 2, 1
         lik = LikelihoodSpec("bernoulli", 1, quad_points=50)
         np.random.seed(0)
@@ -68,6 +68,7 @@ def run(kind: str, epochs: int, model: str = "TGP", train_seed: int = 0,
     else:
         X, y = synthetic_corpus("multiclass")
         y = y.reshape(-1, 1)
+        N, Dx = X.shape
         C, Dy_model = 3, 3
         lik = LikelihoodSpec("categorical", 3, quad_points=32, num_classes=3)
         np.random.seed(0)

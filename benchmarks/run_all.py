@@ -63,8 +63,10 @@ def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200,
 
     stochastic = id_hp is not None      # MC-dropout flows need a train rng
 
-    @jax.jit
-    def run_chunk(p, s, k):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(3,))
+    def run_chunk(p, s, k, length):
         def body(c, _):
             p, s, k = c
             k, sub = jax.random.split(k)
@@ -72,22 +74,37 @@ def bench_config(name, N, Dx, M, quad, flow_blocks, steps=400, chunk=200,
                 spec, pp, Xd, Yd, sub if stochastic else None)[0])(p)
             u, s2 = opt.update(g, s, p)
             return (optax.apply_updates(p, u), s2, k), None
-        (p, s, k), _ = jax.lax.scan(body, (p, s, k), None, length=chunk)
+        (p, s, k), _ = jax.lax.scan(body, (p, s, k), None, length=length)
         return p, s, k
 
     from tgp.pytorch_tpu import config as _cfg
     key = _cfg.make_rng(0)          # honours cfg.set_rng_impl (rbg A/B)
     t0 = time.perf_counter()
-    params, s, key = run_chunk(params, s, key)
+    params, s, key = run_chunk(params, s, key, chunk)
     jax.block_until_ready(params)
     compile_s = time.perf_counter() - t0
-
-    n_chunks = max(1, steps // chunk)
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        params, s, key = run_chunk(params, s, key)
+    params, s, key = run_chunk(params, s, key, 2 * chunk)  # compile 2L too
     jax.block_until_ready(params)
-    train_sps = n_chunks * chunk / (time.perf_counter() - t0)
+
+    # two-scan-length differencing (CLAUDE.md): each dispatched program
+    # carries a ~30 ms fixed tunnel cost, so dividing one window's wall
+    # clock understates small configs ~2x.  T(2L) - T(L) over the same
+    # number of dispatches cancels the fixed cost exactly.
+    def timed(length, reps):
+        nonlocal params, s, key
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, s, key = run_chunk(params, s, key, length)
+        jax.block_until_ready(params)
+        return time.perf_counter() - t0
+
+    reps = max(2, steps // (3 * chunk))
+    t1 = timed(chunk, reps)
+    t2 = timed(2 * chunk, reps)
+    if t2 > t1:
+        train_sps = reps * chunk / (t2 - t1)
+    else:                       # noise swamped the difference: fall back
+        train_sps = reps * 3 * chunk / (t1 + t2)
 
     # eval latency: test-LL + predictive moments + 100 predictive samples
     eval_fn = jax.jit(lambda p, r: (

@@ -68,6 +68,16 @@ def run(kernel_name: str, epochs: int, M_ind: int = 50, num_comp: int = 2):
         base = "periodic" if kernel_name == "spectral_mixture" else "cosine"
         freqs, periods, powers = estimate_spectral_density(
             Xtr[:, 0], Ytr[:, 0], prominence=1.0, return_power=True)
+        if len(periods) == 0:
+            raise ValueError(
+                "no periodogram peaks cleared prominence — the SM seeding "
+                "is meaningless here; use --kernel scale_rbf")
+        if len(periods) < num_comp:
+            # fewer periodogram peaks than components: clamp rather than
+            # index past the peak list (a single-harmonic series is legal)
+            print(f"# only {len(periods)} spectral peaks found; "
+                  f"num_comp {num_comp} -> {len(periods)}")
+            num_comp = len(periods)
         order = np.argsort(powers)[::-1][:num_comp]
         periods = [periods[i] for i in order]
         # magnitudes proportional to peak power share, lengthscale a few

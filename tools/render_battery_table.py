@@ -16,10 +16,29 @@ ORDER = ["boston", "concrete", "energy", "kin8nm", "naval", "power",
          "protein", "wine_red", "wine_white"]
 
 
+def _canonical(r):
+    """True for the Adam full-batch table-arch protocol cell.  Variant
+    batteries (NGD gammas, minibatch A/Bs, --arch overrides) share the
+    model tag, so without this filter a later variant line would silently
+    replace the canonical cell in the rendered table."""
+    if r.get("natgrad"):
+        return False
+    # the protocol's constant batch is 10000 (reference main.py:74): full
+    # batch below that N, minibatch SVI at exactly 10000 above it.  Any
+    # OTHER size is an A/B variant.
+    if r.get("batch") not in (None, "full", 10000):
+        return False
+    if r.get("arch") not in (None, "table"):
+        return False
+    return True
+
+
 def load(path):
     cells = OrderedDict()
     for line in open(path):
         r = json.loads(line)
+        if not _canonical(r):
+            continue
         key = (r["model"], r["dataset"], r.get("M"))
         cells[key] = r          # latest wins
     return cells

@@ -326,13 +326,15 @@ def run(args):
     from sklearn.cluster import KMeans
 
     torch.manual_seed(args.torch_seed)
-    # corpus generation identical to benchmarks/classification_protocol.py
-    rng = np.random.RandomState(0)
-    N, Dx = 1200, 4
-    X = rng.randn(N, Dx)
+    # the SINGLE-SOURCE corpus generator (uci_classification.synthetic_corpus
+    # — benchmarks/classification_protocol.py imports the same one), so the
+    # two sides of the cross-check cannot desynchronize on the data
+    from tgp.pytorch_tpu.data.uci_classification import synthetic_corpus
+    kind = "binary" if args.task == "binary" else "multiclass"
+    X, y = synthetic_corpus(kind)
+    y = y.reshape(-1, 1)
+    N, Dx = X.shape
     if args.task == "binary":
-        logits = np.sin(2 * X[:, 0]) + X[:, 1] * X[:, 2]
-        y = (logits + 0.4 * rng.randn(N) > 0).astype(np.float64).reshape(-1, 1)
         C, Dy = 2, 1
         quad = 50
         np.random.seed(0)
@@ -341,9 +343,6 @@ def run(args):
         else:
             flows = [sal_invbcl_flow()]
     else:
-        W = rng.randn(Dx, 3)
-        scores = np.tanh(X @ W) + 0.3 * rng.randn(N, 3)
-        y = np.argmax(scores, axis=1).astype(np.float64).reshape(-1, 1)
         C, Dy = 3, 3
         quad = 32
         np.random.seed(0)
