@@ -90,13 +90,8 @@ def test_battery_completed_ckpt_refuses_rerun(tmp_path):
     ck = os.path.join(tmp, "done.pkl")
     out, _ = _run(tmp, "full", ["--ckpt", ck])
     n_rows = len(open(out).read().strip().splitlines())
-    cmd = [sys.executable, BATTERY, "--model", "SVGP",
-           "--dataset", "boston", "--num_inducing", "5",
-           "--seeds", "1-2", "--epochs", "20", "--batch_size", "256",
-           "--platform", "cpu", "--ckpt_each", "10",
-           "--out", out, "--ckpt", ck]
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
-                       cwd=REPO)
-    assert p.returncode != 0
-    assert "already complete" in (p.stdout + p.stderr)
+    # identical command line via _run (a drifted copy would trip the
+    # different-config guard instead of the completed guard); battery
+    # refuses with SystemExit(msg) -> rc 1, and appends nothing
+    _run(tmp, "full", ["--ckpt", ck], expect_rc=1)
     assert len(open(out).read().strip().splitlines()) == n_rows

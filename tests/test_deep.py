@@ -115,20 +115,16 @@ def test_deep_predictive_moments_reasonable():
     assert s.shape == (1, 16, 64)
 
 
-def _small_deep(X, flow=True):
+def _small_deep(X):
     N, Dx = X.shape
     np.random.seed(0)
     kern = K.from_name("scale_rbf")
-    if flow:
-        fspec, finits = spec_from_list(G.SAL(1))
-        lik = LikelihoodSpec("gaussian_flow", 1, quad_points=16)
-    else:
-        fspec, finits = None, None
-        lik = LikelihoodSpec("gaussian", 1)
+    fspec, finits = spec_from_list(G.SAL(1))
     inner = D.layer_spec(Dx, Dx, 4, float(N), kern)
     outer = M.TGPSpec(Dy=1, Dx=Dx, M=4, N=float(N), kernel=kern,
-                      likelihood=lik,
-                      **({"flow": fspec} if fspec else {}))
+                      likelihood=LikelihoodSpec("gaussian_flow", 1,
+                                                quad_points=16),
+                      flow=fspec)
     spec = D.DeepTGPSpec(layers=(inner, outer), S_train=2, S_test=5)
     params = D.init_deep_params(spec, X, X[:4].copy(), flow_inits=finits)
     return spec, params

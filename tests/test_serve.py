@@ -170,7 +170,18 @@ def test_predictor_serves_deep_model():
     Y = rng.randn(7, 1)
     lp = pred.log_prob(X[:7], Y)   # per-request total over the 7 rows
     assert lp.shape == (1,) and np.isfinite(np.asarray(lp)).all()
-    # padding exactness: the 16-bucket pad rows must not leak into the sum
-    # (this is what deep test_log_likelihood's reduce=False dispatch buys)
-    lp5 = pred.log_prob(X[:5], Y[:5])
-    assert not np.allclose(np.asarray(lp), np.asarray(lp5))
+    # padding exactness (what deep test_log_likelihood's reduce=False
+    # dispatch buys): the internal kernel must return per-POINT densities
+    # for the full bucket, and the real rows' densities must not depend on
+    # the pad rows' contents — same (base, ctr) rng, two pad fillings
+    base = pred._rng
+    Ys = np.ones(1)
+    pad_a = np.concatenate([X[:7], np.zeros((9, 3))], axis=0)
+    pad_b = np.concatenate([X[:7], 50.0 + np.zeros((9, 3))], axis=0)
+    Yp = np.concatenate([Y, np.zeros((9, 1))], axis=0)
+    lpp_a = np.asarray(pred._log_prob(params, pad_a, Yp, 1, Ys,
+                                      base, np.uint32(123)))
+    lpp_b = np.asarray(pred._log_prob(params, pad_b, Yp, 1, Ys,
+                                      base, np.uint32(123)))
+    assert lpp_a.shape == (1, 16)        # per-point, NOT reduced
+    np.testing.assert_allclose(lpp_a[:, :7], lpp_b[:, :7], rtol=1e-6)

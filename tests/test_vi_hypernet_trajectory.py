@@ -196,12 +196,14 @@ def test_vi_anchor_fit_shrinks_output_variance():
 
     def out_std(fp):
         step = spec.flow[0]
-        outs = np.stack([
-            np.asarray(apply_hypernet(step.hypernet, fp[0]["net_a"], X,
-                                      rng=jax.random.PRNGKey(i),
-                                      stochastic=True))
-            for i in range(16)])
-        return float(outs.std(axis=0).mean())
+        # BOTH hypernets of the SAL step (net_a and net_b) must calibrate
+        return max(
+            float(np.stack([
+                np.asarray(apply_hypernet(step.hypernet, fp[0][net], X,
+                                          rng=jax.random.PRNGKey(i),
+                                          stochastic=True))
+                for i in range(16)]).std(axis=0).mean())
+            for net in ("net_a", "net_b"))
 
     std_before = out_std(fp0)
     # production epoch count (initializers.py default / sweep.py)
