@@ -169,9 +169,9 @@ def bench_torch(X, Y, M=100, steps=8, warmup=2):
 
 
 # Most recent TPU-measured figure for this exact config (v5e single chip,
-# PARITY.md "Throughput", round 3).  Only used to annotate a CPU fallback so
+# BENCH_r04.json, round 4).  Only used to annotate a CPU fallback so
 # the scoreboard record is self-explanatory — never reported as `value`.
-LAST_KNOWN_GOOD_TPU = 1791.0
+LAST_KNOWN_GOOD_TPU = 1796.0
 
 
 def _probe_platform_once(timeout_s: float) -> bool:
